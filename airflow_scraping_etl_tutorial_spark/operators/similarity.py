@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as the scale doctrine demands:
+- brute-force cosine top-k: the exact baseline. Queries broadcast
+  against the corpus (the corpus — the big side — never shuffles);
+  per-query top-k via window. O(|queries| * n) — right when the query
+  batch is small.
+- sign-random-projection LSH: deterministic hyperplanes -> bucket key;
+  same-bucket vectors are candidates. Turns n-vs-n search into
+  O(sum(bucket^2)) — the 100 TB path.
+
+All vector math is higher-order functions (zip_with/aggregate) on
+array columns — JVM-side, no UDFs, no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product via zip_with + in-order fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = as_double(a), as_double(b)
+    return dot(da, db) / (l2_norm(da) * l2_norm(db))
+
+
+def brute_force_topk_cosine(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (small by construction); the corpus
+    streams through map tasks. Ranking happens on the UNROUNDED cosine
+    with a unique id tiebreak, so the selected set is deterministic; the
+    output column is rounded for comparability.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Pseudo-random unit-free hyperplanes derived from md5 — identical
+    on every run/machine (no RNG state, driver computes constants once)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            digest = hashlib.md5(f"plane:{p}:{i}".encode()).digest()
+            (u,) = struct.unpack(">I", digest[:4])
+            row.append((u / 2**32) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_candidates(
+    emb: DataFrame, n_planes: int = 16, dim: int = 64, id_col: str = "vec_id"
+) -> DataFrame:
+    """Sign-random-projection LSH bucketing.
+
+    Each vector gets an n_planes-bit bucket key (sign of the dot product
+    with each deterministic hyperplane). Vectors sharing a bucket are ANN
+    candidates; bucket population is reported so callers can see the
+    candidate-set size the join would produce.
+    """
+    v = as_double(F.col("embedding"))
+    bucket = None
+    for p, plane in enumerate(_deterministic_planes(n_planes, dim)):
+        plane_col = F.array(*[F.lit(w) for w in plane])
+        bit = F.when(dot(v, plane_col) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, p)
+        bucket = term if bucket is None else bucket + term
+    keyed = emb.select(F.col(id_col), bucket.alias("bucket"))
+    w = W.partitionBy("bucket")
+    return keyed.select(
+        id_col, "bucket", F.count(F.lit(1)).over(w).alias("bucket_size")
+    )
+
+
+def lsh_topk_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: LSH bucket join for candidates, exact cosine re-rank.
+
+    Recall < 1 by construction (bucket collisions only); raise recall by
+    lowering n_planes (bigger buckets) or probing neighboring buckets.
+    """
+    qb = lsh_bucket_candidates(queries, n_planes, dim, id_col).select(
+        F.col(id_col).alias("query_id"), "bucket"
+    )
+    cb = lsh_bucket_candidates(corpus, n_planes, dim, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "bucket"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    cand = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )

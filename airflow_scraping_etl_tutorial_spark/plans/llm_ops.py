@@ -1,0 +1,398 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.10 ⊕): dedup, text
+analysis, fingerprinting, similarity search — over the documents and
+embeddings fixtures.
+
+Design rule: everything here must survive 100 TB. That means:
+- no crossJoin over the full corpus (candidate generation via shared
+  keys: hashes, LSH bands, shingle buckets);
+- hash functions chosen to be computable in BOTH engines (md5) wherever
+  an oracle compare is wanted; engine-only paths may use xxhash64
+  (cheaper, JVM-side) and get rows-only checks;
+- all hot-path expressions are built-in functions (codegen), zero
+  Python UDFs.
+
+Implementation operators live in operators/ (dedup.py, similarity.py,
+text.py); this module declares the oracle-checked catalog entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.similarity import brute_force_topk_cosine, lsh_bucket_candidates
+from ..operators.text import (
+    en_stopword_ratio,
+    language_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from ..sources.tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q60_dedup_exact_text",
+    oracle="""
+    SELECT MD5(text) AS text_md5,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def q60_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one representative (min doc_id) per
+    distinct text.
+
+    Scale: groupBy on md5(text) — the 32-hex key shuffles instead of the
+    full document body, so the exchange carries ~32B+8B per row no matter
+    how large the documents are. This is why we hash first and never
+    shuffle raw text."""
+    return exact_dedup(load(spark, sf_dir, "documents"), key="text").orderBy("text_md5")
+
+
+@query(
+    "q61_dedup_distinct_rows",
+    oracle="""
+    SELECT DISTINCT lang, source FROM documents ORDER BY lang, source
+    """,
+    tags=("llm", "dedup"),
+)
+def q61_dedup_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a column subset (the dedup primitive)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", "source")
+        .dropDuplicates()
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q62_text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+           LENGTH(text) AS n_chars_computed,
+           n_chars AS n_chars_claimed,
+           LENGTH(text) = n_chars AS n_chars_ok,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_token_len
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q62_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats per document, all codegen'd string
+    expressions (no UDF). Also validates the fixture's own n_chars column
+    — the engine re-checks upstream claims (same stance as the 合計
+    recompute)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.col("n_chars").alias("n_chars_claimed"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q63_text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it',
+                            'that', 'for'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           CAST(n_tokens BETWEEN 10 AND 1000 AS BOOLEAN) AS length_ok,
+           (CAST(n_stop AS DOUBLE) / n_tokens) >= 0.05 AS looks_english
+    FROM t ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q63_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length gate + stopword ratio (the classic
+    Gopher/C4-style heuristics), pure higher-order functions."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    ratio = en_stopword_ratio(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.size(toks).between(10, 1000).alias("length_ok"),
+        (ratio >= 0.05).alias("looks_english"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q64_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(text) AS fp_md5,
+           MD5(LOWER(TRIM(text))) AS fp_normalized
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def q64_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: raw + normalized (casefold/trim) content
+    hashes. md5 on both engines -> oracle-comparable hex."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.md5(F.lower(F.trim("text"))).alias("fp_normalized"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q65_language_id_heuristic",
+    oracle=None,  # heuristic classifier: engine-only (rows-only check)
+    tags=("llm", "text", "langid"),
+)
+def q65_language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram/stopword heuristic): scores
+    each doc against per-language stopword lists, picks the argmax.
+    Engine-only (the scoring profile is an implementation detail, not
+    portable SQL)."""
+    d = load(spark, sf_dir, "documents")
+    return language_id(d, text_col="text").orderBy("doc_id")
+
+
+@query(
+    "q66_corpus_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "text", "agg"),
+)
+def q66_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level stats per language — the aggregation a training-data
+    pipeline runs before/after every filter stage."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text"))).cast("bigint")).alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (MinHash / SimHash / n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q67_minhash_signatures",
+    oracle=None,  # md5-minhash is deterministic but the 8-col signature SQL
+    # is maintained engine-side; verified structurally by tests + rows check
+    tags=("llm", "dedup", "minhash"),
+)
+def q67_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes over 3-word shingles, md5-based,
+    fully deterministic). Scale: shingling + hashing is per-row map work;
+    no shuffle until the band-bucket join in q68."""
+    return minhash_signatures(
+        load(spark, sf_dir, "documents"), n_hashes=8, shingle_size=3
+    ).orderBy("doc_id")
+
+
+@query(
+    "q68_minhash_near_duplicates",
+    oracle=None,  # LSH candidate generation — engine-only (rows-only check)
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def q68_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band signatures -> bucket self-join ->
+    exact Jaccard verify on candidates only.
+
+    Scale: the self-join is on band-hash buckets, so cost is
+    O(sum(bucket^2)) not O(n^2); band count / rows-per-band tune the
+    recall-cost tradeoff exactly as in the MMDS formulation."""
+    return minhash_near_duplicates(
+        load(spark, sf_dir, "documents"),
+        n_hashes=8,
+        bands=4,
+        shingle_size=3,
+        jaccard_threshold=0.5,
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+@query(
+    "q69_simhash_fingerprints",
+    oracle=None,  # bit-level md5-derived simhash — engine-only
+    tags=("llm", "dedup", "simhash"),
+)
+def q69_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (md5-derived token hashes, weighted
+    bit-vote). Near-dups then cluster by low Hamming distance; the
+    fingerprint column is groupable/joinable at any scale."""
+    return simhash(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "q70_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents WHERE doc_id < 100
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS n_common,
+             LEN(a.shingles) + LEN(b.shingles)
+               - LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS n_union
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           ROUND(CAST(n_common AS DOUBLE) / n_union, 6) AS jaccard
+    FROM pairs WHERE n_common > 0
+    ORDER BY doc_id_a, doc_id_b
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def q70_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard for all overlapping pairs in a
+    bounded slice (doc_id < 100).
+
+    The slice bound exists because exact all-pairs is O(n^2) — the
+    full-corpus path is q68 (LSH candidates first, exact Jaccard only on
+    candidates). Candidate generation here is an inverted-index join on
+    shared shingles: only pairs sharing >= 1 shingle are scored."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, shingle_size=3).orderBy("doc_id_a", "doc_id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q71_cosine_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+             AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def q71_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 5 query vectors — the exact
+    baseline every ANN variant is measured against.
+
+    Scale: query set broadcast against the corpus (corpus never
+    shuffles); per-partition top-k via window. Cost O(|q| * n) — fine
+    for small query batches; the LSH path (q72) is the n-vs-n answer."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk_cosine(queries_df, emb, k=5).orderBy("query_id", "rnk")
+
+
+@query(
+    "q72_lsh_bucket_candidates",
+    oracle=None,  # random-hyperplane LSH — engine-only (rows-only check)
+    tags=("llm", "similarity", "ann", "lsh"),
+)
+def q72_lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: 16 deterministic hyperplanes -> bucket
+    key per vector; same-bucket vectors are ANN candidates. At scale the
+    candidate join replaces the O(n^2) crossJoin with O(sum(bucket^2))."""
+    return lsh_bucket_candidates(load(spark, sf_dir, "embeddings"), n_planes=16).orderBy(
+        "vec_id"
+    )
+
+
+@query(
+    "q73_embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_l2_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    tags=("llm", "similarity", "agg"),
+)
+def q73_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm stats — vector-column aggregation with
+    higher-order functions only (JVM-side, no UDF)."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(norm), 6).alias("avg_l2_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,834 @@
+"""Relational operator coverage (SURVEY.md §2.4-2.8) over the TPC-H-ish
+fixtures.
+
+Every query here is declared with the DataFrame API (Catalyst plans it:
+predicate pushdown, column pruning, join selection, partial aggregation
+come for free) and paired with a DuckDB oracle SQL string.
+
+Determinism rules for the oracle value-hash compare:
+- double aggregates rounded (money -> 2 dp, ratios -> 6 dp) on BOTH
+  sides: double sums are order-dependent in the last ulp;
+- year()/extract() cast to INT on both sides (duckdb EXTRACT -> BIGINT);
+- timestamps projected as DATE;
+- top-k orderings carry a unique tiebreak key so the selected SET is
+  identical regardless of engine sort stability.
+
+Scale notes are attached per query: what shuffles, what broadcasts, and
+why the plan survives 1000 executors / 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Flagship: multi-way star join + aggregation + sort  (SURVEY §2.4 joins/aggs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_flagship_revenue_by_region_year",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("join", "agg", "sort", "flagship"),
+)
+def q01_flagship_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region x order-year over the full star schema.
+
+    Scale: lineitem|orders are the two big fact tables -> Catalyst picks
+    sort-merge (AQE may switch to shuffled-hash); customer/nation/region
+    are dimensions -> broadcast() hints eliminate 3 shuffles entirely.
+    The groupBy shuffles once on (region, year) — low cardinality, so the
+    partial (map-side) aggregation collapses almost all rows before the
+    exchange. At 100 TB: only the fact-fact join moves data.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("region_name", "order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans: filter + projection pushdown  (SURVEY §2.1 S3/S4, §2.2 P1/P2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_filter_project_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 300000
+    ORDER BY o_orderkey
+    """,
+    tags=("scan", "filter", "projection"),
+)
+def q02_filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushed into the parquet scan.
+
+    The reference does SELECT * + fetchall (insert_data.py:57-59); here
+    Catalyst pushes both the status/price filters (PushedFilters) and the
+    3-column projection (ReadSchema) into the scan — at 100 TB only
+    matching row groups and 3 columns are read.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q03_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS order_date
+    FROM orders WHERE o_orderkey = 42
+    """,
+    tags=("scan", "filter"),
+)
+def q03_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by key (reference S4: SELECT * WHERE dt='20220819').
+
+    With a sink partitioned/sorted on the key this is partition pruning +
+    row-group min/max skipping; the scan touches O(1) files.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations  (SURVEY §2.4: groupBy, partial agg, rollup/cube/grouping sets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_groupby_agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "sort"),
+)
+def q04_groupby_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 2 group keys x 8 aggregates.
+
+    Spark plans partial (map-side) + final aggregation automatically; the
+    exchange carries only (6 groups x 8 accumulators) per map task, so
+    the shuffle is O(tasks), not O(rows) — exactly the plan you want at
+    100 TB. The 合計 row the reference discards (P1) is the same partial-
+    aggregate concept, recomputed natively here.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q05_rollup_totals",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS return_flag,
+           COALESCE(l_linestatus, 'ALL') AS line_status,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY 1, 2
+    """,
+    tags=("agg", "rollup"),
+)
+def q05_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: per-group rows plus subtotal and grand-total rows.
+
+    This natively reproduces the reference's 合計 (grand total) row that
+    its source pre-aggregates and the ETL strips (Final_app.py:49) — the
+    engine computes totals itself instead of trusting upstream.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("return_flag", "line_status")
+    )
+
+
+@query(
+    "q06_cube_order_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY 1, 2
+    """,
+    tags=("agg", "cube"),
+)
+def q06_cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x priority: all 4 grouping-set combinations."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("order_status", "order_priority")
+    )
+
+
+@query(
+    "q07_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+    tags=("agg", "distinct"),
+)
+def q07_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT (expand + two-phase agg in Spark).
+
+    At 100 TB prefer approx_count_distinct (HLL sketch, no expand) — see
+    q08; the exact form is here because the oracle can verify it.
+    """
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins  (SURVEY §2.4: inner/left/full/semi/anti, broadcast vs sort-merge)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q08_join_broadcast_dim",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "broadcast", "agg"),
+)
+def q08_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join with an explicit broadcast hint: zero shuffle for the
+    join itself (each task streams customer rows past an in-memory nation
+    hash map); only the low-cardinality groupBy exchanges data."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+@query(
+    "q09_join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "outer"),
+)
+def q09_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (count=0)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q10_join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    tags=("join", "semi"),
+)
+def q10_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS: customers with at least one urgent order.
+    Semi joins ship only the join key of the right side — cheaper than
+    inner-join+distinct at scale."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q11_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "anti"),
+)
+def q11_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS: customers that never ordered."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q12_join_full_outer",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+                  FROM customer GROUP BY 1),
+         supp AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+                  FROM supplier GROUP BY 1)
+    SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    ORDER BY 1
+    """,
+    tags=("join", "outer"),
+)
+def q12_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (agg-before-join keeps
+    the shuffled data minimal — aggregate first, join the small results)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q13_join_range_inequality",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_late_lines
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "range"),
+)
+def q13_join_range_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with an additional range predicate (late shipments).
+
+    The equi-key keeps this a hash/sort-merge join (NOT a cartesian); the
+    range predicate is evaluated as a post-join filter inside the join —
+    the safe shape for range conditions at scale."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions  (SURVEY §2.4: lag/lead, moving agg, rank/top-k per group)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_window_lag_day_over_day",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date, revenue,
+           LAG(revenue) OVER (ORDER BY order_date) AS prev_revenue,
+           ROUND(revenue - COALESCE(LAG(revenue) OVER (ORDER BY order_date), 0), 2)
+             AS day_over_day
+    FROM daily ORDER BY order_date
+    """,
+    tags=("window", "lag"),
+)
+def q14_window_lag_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta via LAG — the canonical query the
+    reference's daily `investment_data` time series exists to answer
+    (SURVEY §2.4 windows).
+
+    Scale: the global (unpartitioned) window runs on ONE task after a
+    single-partition exchange — fine here because the input is already
+    aggregated to one row per day (~thousands of rows). Never apply a
+    global window to raw fact rows; aggregate first."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = W.orderBy("order_date")
+    return (
+        daily.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .withColumn(
+            "day_over_day",
+            F.round(F.col("revenue") - F.coalesce(F.col("prev_revenue"), F.lit(0.0)), 2),
+        )
+        .orderBy("order_date")
+    )
+
+
+@query(
+    "q15_window_moving_average",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date, revenue,
+           ROUND(AVG(revenue) OVER (ORDER BY order_date
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+    FROM daily ORDER BY order_date
+    """,
+    tags=("window", "moving_avg"),
+)
+def q15_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average over the daily revenue series."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = W.orderBy("order_date").rowsBetween(-6, 0)
+    return daily.withColumn("ma7", F.round(F.avg("revenue").over(w), 4)).orderBy(
+        "order_date"
+    )
+
+
+@query(
+    "q16_window_topk_per_group",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+             ROUND(SUM(o.o_totalprice), 2) AS total_spent
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY nationkey
+                                   ORDER BY total_spent DESC, custkey) AS rn
+      FROM spend
+    )
+    SELECT nationkey, custkey, total_spent, rn
+    FROM ranked WHERE rn <= 3 ORDER BY nationkey, rn
+    """,
+    tags=("window", "rank", "topk"),
+)
+def q16_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 spenders per nation: partitioned window + row_number.
+
+    Deterministic tiebreak on custkey. Scale: the window partitions by
+    nationkey — parallel across groups; with skewed groups, pre-aggregate
+    (done here: spend is grouped first) so each partition holds one row
+    per customer, not per order."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    spend = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+    )
+    w = W.partitionBy("nationkey").orderBy(F.desc("total_spent"), F.asc("custkey"))
+    return (
+        spend.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("nationkey", "rn")
+    )
+
+
+@query(
+    "q17_window_rank_dense_cume",
+    oracle="""
+    WITH nat AS (
+      SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS bal
+      FROM supplier GROUP BY 1
+    )
+    SELECT nationkey, bal,
+           RANK() OVER (ORDER BY bal DESC, nationkey) AS rnk,
+           DENSE_RANK() OVER (ORDER BY bal DESC, nationkey) AS drnk,
+           ROUND(CUME_DIST() OVER (ORDER BY bal DESC, nationkey), 6) AS cume,
+           NTILE(4) OVER (ORDER BY bal DESC, nationkey) AS quartile
+    FROM nat ORDER BY rnk, nationkey
+    """,
+    tags=("window", "rank"),
+)
+def q17_window_rank_dense_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / cume_dist / ntile over supplier balances.
+    The window order carries a unique tiebreak (nationkey) so ntile and
+    cume_dist assignments are engine-independent."""
+    nat = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("bal"))
+    )
+    w = W.orderBy(F.desc("bal"), F.asc("nationkey"))
+    return (
+        nat.select(
+            "nationkey",
+            "bal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("rnk", "nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k  (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_global_topk",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit", "topk"),
+)
+def q18_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price. Spark plans TakeOrderedAndProject:
+    each task keeps a k-size heap, driver merges k*tasks rows — no global
+    sort materialization at any scale. Tiebreak on orderkey keeps the
+    selected set deterministic."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations  (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_set_union",
+    oracle="""
+    SELECT nationkey, src FROM (
+      SELECT DISTINCT c_nationkey AS nationkey, 'customer' AS src FROM customer
+      UNION
+      SELECT DISTINCT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+    ) ORDER BY nationkey, src
+    """,
+    tags=("setop", "union"),
+)
+def q19_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of tagged key sets via unionByName + distinct."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src"))
+        .distinct()
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src"))
+        .distinct()
+    )
+    return cust.unionByName(supp).distinct().orderBy("nationkey", "src")
+
+
+@query(
+    "q20_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("setop", "intersect"),
+)
+def q20_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations that have both customers and suppliers."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+@query(
+    "q21_set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("setop", "except"),
+)
+def q21_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics, df.subtract): nations with customers but no
+    suppliers."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Pivot  (SURVEY §2.2 P5 — the reference's long->wide reshape, generalized)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_pivot_revenue_by_status",
+    oracle="""
+    SELECT l_returnflag AS return_flag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    tags=("pivot", "agg"),
+)
+def q22_pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot (the Spark form of reference P5, which pivots 4
+    category rows x 3 measures into one 12-column row). Explicit pivot
+    values avoid the extra distinct-values job — at scale always pass
+    the value list."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "return_flag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+        .orderBy("return_flag")
+    )
+
+
+@query(
+    "q23_unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, ROUND(value, 2) AS value
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    ) ORDER BY c_custkey, metric
+    """,
+    tags=("pivot", "unpivot"),
+)
+def q23_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot via stack() — the inverse reshape of P5."""
+    return (
+        load(spark, sf_dir, "customer")
+        .selectExpr(
+            "c_custkey",
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+            " AS (metric, value)",
+        )
+        .select("c_custkey", "metric", F.round("value", 2).alias("value"))
+        .orderBy("c_custkey", "metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / CTE / scalar subquery  (SQL surface parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_scalar_subquery_above_avg",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    ORDER BY c_custkey
+    """,
+    tags=("subquery",),
+)
+def q24_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the mean balance. Expressed via
+    the SQL surface (spark.sql) to exercise the parser/analyzer path —
+    Catalyst turns the scalar subquery into a broadcast join."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "q25_cte_multi_join_sql",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_totalprice > 200000
+    )
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_big_orders,
+           ROUND(SUM(b.o_totalprice), 2) AS revenue
+    FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("subquery", "cte", "sql"),
+)
+def q25_cte_multi_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + join + agg through the SQL entry point (same Catalyst plan
+    as the DataFrame form — proves the SQL surface)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_totalprice > 200000
+        )
+        SELECT c.c_mktsegment AS mktsegment,
+               COUNT(*) AS n_big_orders,
+               ROUND(SUM(b.o_totalprice), 2) AS revenue
+        FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+        """
+    )

@@ -1,0 +1,56 @@
+"""Table catalog over the driver fixtures (TESTDATA.md).
+
+Spark reads the parquet footers directly — schema comes from the file,
+filters and projections are pushed into the scan by Catalyst (check with
+``df.explain``: ``PushedFilters`` / ``ReadSchema``). At 100 TB the same
+loader points at a partitioned directory tree and partition pruning
+applies; nothing here changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# dims scale with SF but region/nation are constant; customer/supplier/
+# part stay well under executor memory until extreme SFs — AQE demotes
+# the hint if runtime stats disagree).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table as a DataFrame.
+
+    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark reads
+    only as a raw long (spark.sql.legacy.parquet.nanosAsLong, set in
+    session.py). Convert ns -> µs with exact integer division (`div`,
+    not `/` — a double division loses precision above 2^53) and restore
+    TimestampType; the fixture's timestamps carry only µs precision, so
+    the truncation is lossless.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for SQL-form queries)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full physical plan
+runs, nothing is serialized back to Python — measures the engine, not
+the collect path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from airflow_scraping_etl_tutorial_spark.plans import all_queries  # noqa: E402
+from airflow_scraping_etl_tutorial_spark.session import get_spark  # noqa: E402
+
+# Headline set: one representative per operator family (join+agg, pure
+# agg, range join, window/topk, set op, pivot, scalar funcs, json,
+# dedup exact + minhash LSH + jaccard, ANN, streaming-shaped aggs).
+HEADLINE = (
+    "q01_flagship_revenue_by_region_year",
+    "q04_groupby_agg_pricing_summary",
+    "q05_rollup_totals",
+    "q09_join_left_outer",
+    "q13_join_range_inequality",
+    "q16_window_topk_per_group",
+    "q18_global_topk",
+    "q22_pivot_revenue_by_status",
+    "q30_string_functions",
+    "q40_json_extraction",
+    "q60_dedup_exact_text",
+    "q63_text_quality_score",
+    "q68_minhash_near_duplicates",
+    "q70_ngram_jaccard_pairs",
+    "q71_cosine_topk_bruteforce",
+    "q80_events_hourly_tumbling",
+    "q82_events_sessionization",
+    "q84_asof_join_purchase_signup",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    specs = all_queries()
+    # JVM/codegen warmup outside the measured window.
+    specs["q03_point_lookup"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Runs every catalog query on Spark AND its oracle SQL on DuckDB at the
+given sf dir, then compares row count, column names, and an order-
+insensitive value hash (columns sorted by name, rows sorted, floats
+rounded to 9 significant-ish decimals before hashing). Exits non-zero on
+any mismatch. Run this BEFORE the driver does.
+
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from airflow_scraping_etl_tutorial_spark.plans import all_queries  # noqa: E402
+from airflow_scraping_etl_tutorial_spark.session import get_spark  # noqa: E402
+from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES  # noqa: E402
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Column-name-sorted, row-sorted, float-rounded canonical form."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_val(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return float(f"{v:.9g}")
+        # Decimal / date / datetime / str / int -> stable string form
+        return str(v)
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    specs = all_queries()
+    spark = get_spark("check_correctness")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"rows-only {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(ocols)}")
+        if not problems:
+            sn = normalize([tuple(r) for r in srows], scols)
+            on = normalize(orows, ocols)
+            if sn != on:
+                for i, (a, b) in enumerate(zip(sn, on)):
+                    if a != b:
+                        problems.append(f"first value diff at row {i}: spark={a} duck={b}")
+                        break
+                else:
+                    problems.append("value diff (row sets differ)")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"ok   {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
