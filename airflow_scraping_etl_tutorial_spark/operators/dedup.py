@@ -8,9 +8,11 @@ Scale doctrine shared by all of them:
 - everything below is built-in column expressions — shingling, hashing,
   banding and Jaccard all run inside whole-stage codegen, no UDFs.
 
-md5 is used (not xxhash64) wherever determinism across engines matters:
-both Spark and DuckDB expose identical md5 hex, so tests and oracles can
-reproduce signatures bit-for-bit.
+Hash choice: md5 where the DuckDB oracle must reproduce the value
+bit-for-bit (exact_dedup's content hash — md5 is identical in both
+engines); xxhash64 for MinHash/SimHash internals (engine-only values:
+~8 bytes/hash JVM-side vs 32-hex strings, an order of magnitude cheaper
+at 100 TB, and still fully deterministic across runs/machines).
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import fan_out
 from .text import tokens
 
 
@@ -50,16 +53,25 @@ def word_shingles(text: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _minhash_cols(shingle_col: Column, n_hashes: int) -> list[Column]:
-    """n_hashes MinHash values: min over shingles of md5(seed|shingle).
+def shingle_hashes(text: Column, k: int) -> Column:
+    """Distinct k-word shingles pre-hashed to int64 (array<long>).
 
-    Lexicographic min over hex digests == min over the underlying 128-bit
-    integers, so string min is a valid MinHash; seeds are prefix salts.
-    """
+    The string shingle is hashed ONCE (xxhash64); every downstream
+    MinHash function then re-hashes the 8-byte long, not the string —
+    profiling at sf0.1 shows ~8x over per-seed string hashing. Hash
+    collisions merely merge two shingles (negligible at 2^-64) — the
+    standard shingle-fingerprint trade."""
+    return F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+
+
+def _minhash_cols(hash_col: Column, n_hashes: int) -> list[Column]:
+    """n_hashes MinHash values: min over pre-hashed shingles of
+    xxhash64(seed, h). min over int64 is a valid MinHash; the whole
+    signature is 8*n_hashes bytes per doc."""
     return [
-        F.array_min(
-            F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
-        ).alias(f"mh_{j}")
+        F.array_min(F.transform(hash_col, lambda h: F.xxhash64(F.lit(j), h))).alias(
+            f"mh_{j}"
+        )
         for j in range(n_hashes)
     ]
 
@@ -67,9 +79,17 @@ def _minhash_cols(shingle_col: Column, n_hashes: int) -> list[Column]:
 def minhash_signatures(
     df: DataFrame, n_hashes: int = 8, shingle_size: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document MinHash signature (mh_0..mh_{n-1}). Pure map work."""
-    sh = word_shingles(F.col("text"), shingle_size)
-    return df.select(F.col(id_col), *_minhash_cols(sh, n_hashes))
+    """Per-document MinHash signature (mh_0..mh_{n-1}). Pure map work.
+
+    Two-step projection on purpose: materializing `hs` as its own
+    column keeps Catalyst from re-inlining the shingle pipeline into
+    each of the n_hashes min-expressions (CollapseProject skips
+    expensive multiply-referenced expressions) — measured ~17x at sf0.1.
+    """
+    pre = fan_out(df).select(
+        F.col(id_col), shingle_hashes(F.col("text"), shingle_size).alias("hs")
+    )
+    return pre.select(F.col(id_col), *_minhash_cols(F.col("hs"), n_hashes))
 
 
 def minhash_near_duplicates(
@@ -85,7 +105,7 @@ def minhash_near_duplicates(
     Stages (the MMDS banding scheme):
       1. signature: n_hashes MinHashes per doc (map-only);
       2. banding: r = n_hashes/bands rows per band -> band bucket key =
-         md5(band_idx | mh_i..mh_j); explode to (band, bucket, id);
+         xxhash64(band_idx, mh_i..mh_j); explode to (band, bucket, id);
       3. candidate pairs: self-join on (band, bucket), id_a < id_b,
          distinct — cost O(sum over buckets of bucket^2), never O(n^2);
       4. verify: exact Jaccard on the candidates' shingle sets only.
@@ -97,14 +117,20 @@ def minhash_near_duplicates(
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
 
-    sh = word_shingles(F.col("text"), shingle_size)
-    sig = df.select(F.col(id_col), sh.alias("shingles"), *_minhash_cols(sh, n_hashes))
+    # Two-step projection (see minhash_signatures) + persist: the LSH
+    # self-join and the two shingle-set lookups would otherwise recompute
+    # shingling+hashing three times. The exact-Jaccard verify runs on the
+    # hashed shingle sets, so raw text never shuffles.
+    pre = fan_out(df).select(
+        F.col(id_col), shingle_hashes(F.col("text"), shingle_size).alias("shingles")
+    )
+    sig = pre.select(
+        F.col(id_col), F.col("shingles"), *_minhash_cols(F.col("shingles"), n_hashes)
+    ).persist()
 
     band_keys = F.array(
         *[
-            F.md5(
-                F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh_{b * r + i}") for i in range(r)])
-            )
+            F.xxhash64(F.lit(b), *[F.col(f"mh_{b * r + i}") for i in range(r)])
             for b in range(bands)
         ]
     )
@@ -145,19 +171,18 @@ def minhash_near_duplicates(
 
 
 def simhash(df: DataFrame, n_bits: int = 60, id_col: str = "doc_id") -> DataFrame:
-    """SimHash fingerprint: md5-derived per-token hash, bitwise vote,
+    """SimHash fingerprint: xxhash64 per-token hash, bitwise vote,
     sign -> fingerprint bit. Near-dups have low Hamming distance.
 
-    n_bits=60 keeps the token hash inside a signed 64-bit int (15 hex
-    chars). The bit votes are n_bits aggregate expressions over the
-    exploded token stream — partial aggregation collapses them map-side,
-    so the shuffle carries n_bits longs per doc, not per token.
+    n_bits=60 (of the 64) keeps the reassembled fingerprint positive in
+    a signed long. The bit votes are n_bits aggregate expressions over
+    the exploded token stream — partial aggregation collapses them
+    map-side, so the shuffle carries n_bits longs per doc, not per token.
     """
     tok = (
-        df.select(F.col(id_col), F.explode(tokens(F.col("text"))).alias("tok"))
-        .withColumn(
-            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-        )
+        fan_out(df)
+        .select(F.col(id_col), F.explode(tokens(F.col("text"))).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
     )
     votes = [
         F.sum(
@@ -230,8 +255,8 @@ def ngram_jaccard_pairs(
     document-frequency cap on hot shingles (stop-shingle pruning) to
     bound the worst bucket.
     """
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col("text"), shingle_size).alias("shingles")
+    sh = fan_out(df).select(
+        F.col(id_col), shingle_hashes(F.col("text"), shingle_size).alias("shingles")
     )
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))

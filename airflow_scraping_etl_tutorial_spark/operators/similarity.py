@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.partitioning import fan_out
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -56,7 +58,7 @@ def brute_force_topk_cosine(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("c_emb")
     )
     scored = (
@@ -113,7 +115,7 @@ def lsh_bucket_candidates(
         )
         term = F.shiftleft(bit, p)
         bucket = term if bucket is None else bucket + term
-    keyed = emb.select(F.col(id_col), bucket.alias("bucket"))
+    keyed = fan_out(emb).select(F.col(id_col), bucket.alias("bucket"))
     w = W.partitionBy("bucket")
     return keyed.select(
         id_col, "bucket", F.count(F.lit(1)).over(w).alias("bucket_size")

@@ -1,0 +1,119 @@
+"""Structured Streaming operators over the events feed (SURVEY.md §2.9).
+
+The reference is a daily-cron batch pipeline; its upstream is
+semantically a stream (one payload per trading day), and the engine's
+fixtures include a true event stream. These operators are the streaming
+counterparts of the batch catalog entries (plans/streaming_queries.py)
+and are exercised by tests/test_streaming.py with the file source +
+memory/foreachBatch sinks.
+
+Watermark doctrine: every stateful operator bounds its state with
+``withWatermark`` — late rows beyond the watermark are dropped, so state
+size is O(windows in the watermark horizon), not O(stream length).
+That is the property that lets these plans run forever on a cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_from_dir(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a directory of parquet event files (the
+    test/replay path; production swaps in Kafka with the same schema —
+    every operator below is source-agnostic)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming twin of
+    q80_events_hourly_tumbling)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked sliding-window aggregation (1 h / 30 min)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window aggregation: state merges adjacent events within
+    the gap (streaming twin of q82's lag/cumsum batch form)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type, minute): state
+    for a key is dropped once the watermark passes it — bounded memory
+    on an unbounded stream (the streaming form of q83)."""
+    return (
+        events.withColumn("minute", F.date_trunc("minute", "ts"))
+        .withWatermark("minute", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+    )
+
+
+def write_with_notify(
+    result: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    notify: Callable[[str], None] | None = None,
+):
+    """foreachBatch sink combining the reference's S5 (append) + S7
+    (notify) in one transactional micro-batch: parquet append then a
+    success message with the batch id/row count. availableNow trigger =
+    'process everything then stop' (the engine form of the daily cron).
+    """
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        n = batch_df.count()
+        batch_df.write.mode("append").parquet(sink_path)
+        if notify:
+            notify(f"batch {epoch_id}: {n} rows appended")
+
+    return (
+        result.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

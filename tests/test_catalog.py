@@ -1,0 +1,45 @@
+"""Catalog sanity: every registered query runs at sf0.001 and its
+oracle (when present) parses in DuckDB. Full value-level comparison is
+tools/check_correctness.py (and the driver's t2 gate); this test keeps
+the catalog importable/runnable as a cheap pytest invariant."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from airflow_scraping_etl_tutorial_spark.plans import all_queries
+from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SPECS = all_queries()
+
+
+def test_registry_nonempty_and_unique():
+    assert len(SPECS) >= 60
+    assert all(spec.doc for spec in SPECS.values()), "every query needs a docstring"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_all_oracles_parse_in_duckdb(duck):
+    for name, spec in SPECS.items():
+        if spec.oracle:
+            duck.execute(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_runs_and_has_rows(spark, name):
+    df = SPECS[name].fn(spark, SF_DIR)
+    # schema resolves and at least one row exists for every fixture query
+    assert df.columns
+    assert df.limit(1).count() >= (0 if name == "q11_join_anti" else 1)

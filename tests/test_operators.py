@@ -1,0 +1,189 @@
+"""Unit tests for the LLM-data operators (dedup / similarity / text /
+as-of) on small synthetic inputs with hand-checkable answers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from airflow_scraping_etl_tutorial_spark.operators.asof import asof_join
+from airflow_scraping_etl_tutorial_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+    brute_force_topk_cosine,
+    lsh_bucket_candidates,
+    lsh_topk_cosine,
+)
+from airflow_scraping_etl_tutorial_spark.operators.text import (
+    bpe_ish_token_count,
+    language_id,
+    quality_score,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+FAR = "completely different words about spark sql engines and parquet columnar files"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=BASE),
+            Row(doc_id=2, text=BASE),  # exact duplicate of 1
+            Row(doc_id=3, text=NEAR),  # near-duplicate of 1
+            Row(doc_id=4, text=FAR),
+        ]
+    )
+
+
+def test_exact_dedup_groups_identical_texts(spark, docs):
+    out = {r.keep_doc_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_word_shingles_small_case(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    got = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    assert short.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s == []
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    sig = {r.doc_id: tuple(r[i] for i in range(1, 9)) for r in minhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+
+
+def test_minhash_near_duplicates_finds_planted_pair(spark, docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in minhash_near_duplicates(docs, jaccard_threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_identical_equal_and_near_close(spark, docs):
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fps[1] == fps[2]
+    ham13 = bin(fps[1] ^ fps[3]).count("1")
+    ham14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham13 < ham14
+
+
+def test_simhash_near_duplicates_blocking(spark, docs):
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in simhash_near_duplicates(docs, max_hamming=10).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # "a b c d e" vs "a b c d f": 3-shingles {abc,bcd,cde} vs {abc,bcd,cdf}
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e"), Row(doc_id=2, text="a b c d f")]
+    )
+    rows = ngram_jaccard_pairs(df, shingle_size=3).collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard == 0.5  # 2 common / 4 union
+
+
+def test_brute_force_topk_exact_neighbor(spark):
+    vecs = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0, 0.0]),  # closest to 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs)
+    out = brute_force_topk_cosine(df.filter(F.col("vec_id") == 0), df, k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(out[0].cosine - expected) < 1e-6
+
+
+def test_lsh_bucket_identical_vectors_collide(spark):
+    vecs = [
+        Row(vec_id=0, embedding=[float(i) for i in range(64)]),
+        Row(vec_id=1, embedding=[float(i) for i in range(64)]),
+        Row(vec_id=2, embedding=[float(63 - i) for i in range(64)]),
+    ]
+    df = spark.createDataFrame(vecs)
+    buckets = {r.vec_id: r.bucket for r in lsh_bucket_candidates(df).collect()}
+    assert buckets[0] == buckets[1]
+
+
+def test_lsh_topk_recovers_identical_vector(spark):
+    vecs = [
+        Row(vec_id=i, embedding=[float((i * 64 + j) % 97) for j in range(64)])
+        for i in range(20)
+    ]
+    vecs.append(Row(vec_id=99, embedding=vecs[0].embedding))
+    df = spark.createDataFrame(vecs)
+    out = lsh_topk_cosine(df.filter(F.col("vec_id") == 0), df, k=1, n_planes=4)
+    rows = out.collect()
+    assert rows and rows[0].neighbor_id == 99 and rows[0].cosine == 1.0
+
+
+def test_asof_join_basic_and_edges(spark):
+    signups = spark.createDataFrame(
+        [Row(user_id=1, ts="2024-01-01 10:00:00"), Row(user_id=1, ts="2024-01-01 12:00:00")]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    purchases = spark.createDataFrame(
+        [
+            Row(pid=1, user_id=1, ts="2024-01-01 11:00:00"),  # after 1st signup
+            Row(pid=2, user_id=1, ts="2024-01-01 12:00:00"),  # simultaneous: sees it
+            Row(pid=3, user_id=1, ts="2024-01-01 09:00:00"),  # before any: null
+            Row(pid=4, user_id=2, ts="2024-01-01 11:00:00"),  # no signups: null
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.pid: r.asof_ts
+        for r in asof_join(purchases, signups, on="user_id", tiebreak="pid").collect()
+    }
+    assert str(out[1]) == "2024-01-01 10:00:00"
+    assert str(out[2]) == "2024-01-01 12:00:00"  # equal-ts right row visible
+    assert out[3] is None
+    assert out[4] is None
+
+
+def test_language_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat is in the hat and it is a good day for the park", lang="en"),
+            Row(doc_id=2, text="der hund ist nicht auf der wiese und das ist ein problem", lang="de"),
+            Row(doc_id=3, text="zzz qqq xxx", lang="und"),
+        ]
+    )
+    got = {r.doc_id: r.predicted_lang for r in language_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+    scores = {
+        r.doc_id: r.q
+        for r in df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    }
+    assert scores[1] > scores[3]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="short supercalifragilistic")])
+    n = df.select(bpe_ish_token_count(F.col("text")).alias("n")).collect()[0].n
+    # 'short' -> 2 pieces (ceil(5/4)), 'supercalifragilistic' (20 chars) -> 5
+    assert n == 7

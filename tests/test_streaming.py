@@ -1,0 +1,136 @@
+"""Structured Streaming tests: the events fixture replayed through the
+file source, driven to completion with availableNow/processAllAvailable,
+checked against the equivalent batch computation (SURVEY §5 item 5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_scraping_etl_tutorial_spark.sources.tables import load
+from airflow_scraping_etl_tutorial_spark.streaming.events import (
+    dedup_within_watermark,
+    hourly_counts,
+    session_counts,
+    stream_from_dir,
+    write_with_notify,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-land the events fixture as µs-timestamp parquet (the raw file
+    is TIMESTAMP(NANOS), unreadable by a plain streaming scan)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_to_memory(spark, df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_hourly_counts_match_batch(spark, events_dir):
+    stream = stream_from_dir(spark, events_dir)
+    got = _run_to_memory(spark, hourly_counts(stream), "hourly", "complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got_map = {(str(r.window_start), r.event_type): r.n_events for r in got.collect()}
+    batch_map = {(str(r.w.start), r.event_type): r.n_events for r in batch.collect()}
+    assert got_map == batch_map
+
+
+def test_session_counts_stream_runs(spark, events_dir):
+    stream = stream_from_dir(spark, events_dir)
+    got = _run_to_memory(spark, session_counts(stream), "sessions", "complete")
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_dedup_within_watermark_drops_dupes(spark, tmp_path, events_dir):
+    stream = stream_from_dir(spark, events_dir)
+    got = _run_to_memory(spark, dedup_within_watermark(stream), "dedup", "append")
+    n_unique_batch = (
+        spark.read.parquet(events_dir)
+        .select("user_id", "event_type", F.date_trunc("minute", "ts").alias("m"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_unique_batch
+
+
+def test_foreach_batch_sink_appends_and_notifies(spark, tmp_path, events_dir):
+    msgs = []
+    stream = stream_from_dir(spark, events_dir).filter(F.col("event_type") == "purchase")
+    q = write_with_notify(
+        stream,
+        sink_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        notify=msgs.append,
+    )
+    q.awaitTermination(120)
+    n_expected = spark.read.parquet(events_dir).filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_expected
+    assert msgs and "appended" in msgs[0]
+
+
+def test_late_data_beyond_watermark_dropped(spark, tmp_path):
+    """Deterministic late-row check: two micro-batches landed as files;
+    the second contains a row older than watermark horizon behind the
+    first batch's max ts -> excluded from append-mode output."""
+    d = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    rows1 = [(1, "2024-01-01 00:05:00", 1, "click", 1.0, "{}"),
+             (2, "2024-01-01 06:00:00", 1, "click", 1.0, "{}")]
+    rows2 = [(3, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),  # 6h late
+             (4, "2024-01-01 07:00:00", 1, "click", 1.0, "{}")]
+    cols = "event_id long, ts string, user_id long, event_type string, value double, props string"
+
+    def land(rows, name):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    land(rows1, "b1")
+    stream = stream_from_dir(spark, d)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: watermark advances to 05:00
+    land(rows2, "b2")
+    q.processAllAvailable()  # batch 2: 00:10 row is beyond watermark
+    q.stop()
+    out = {str(r.ws): r.n for r in spark.sql("SELECT * FROM late").collect()}
+    # the 00:00 window was finalized with ONLY the on-time row
+    assert out.get("2024-01-01 00:00:00") == 1
