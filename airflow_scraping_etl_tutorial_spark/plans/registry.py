@@ -29,6 +29,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # Modules that register queries on import (order = SURVEY.md §2 order).
 _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.relational",
+    "airflow_scraping_etl_tutorial_spark.plans.relational2",
     "airflow_scraping_etl_tutorial_spark.plans.functions_catalog",
     "airflow_scraping_etl_tutorial_spark.plans.twse_queries",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops",

@@ -1,0 +1,375 @@
+"""Relational coverage, wave 2: statistical aggregates, percentiles,
+ordered collections, richer window frames, regex/LIKE predicates,
+grouping sets, IN/correlated subqueries, salted skew join, sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_join
+from ..sources.tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26_salted_join_equivalence",
+    oracle="""
+    SELECT n.n_name AS nation_name, COUNT(*) AS n_rows,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q26_salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators/skew.py) — result identical to the plain
+    join, hot keys spread across 8 sub-keys. The oracle IS the plain
+    join: equivalence is the correctness property of salting."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = salted_join(customer, nation, "c_nationkey", "n_nationkey", n_salts=8)
+    return (
+        joined.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+@query(
+    "q27_stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_stddev,
+           ROUND(VAR_SAMP(l_quantity), 6) AS qty_var,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "stats"),
+)
+def q27_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/correlation/covariance — distributable moment
+    aggregates (single pass, partial+final, no extra shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q28_percentiles_median",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(MEDIAN(o_totalprice), 4) AS median_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "percentile"),
+)
+def q28_percentiles_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation — Spark `percentile`
+    == DuckDB `quantile_cont`). At 100 TB use approx_percentile (q29,
+    t-digest sketch, no sort/materialization); the exact form exists
+    because the oracle can verify it."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q29_approx_aggregates",
+    oracle=None,  # sketch-based: engine-specific estimates, rows-only check
+    tags=("agg", "approx", "sketch"),
+)
+def q29_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB forms: approx_count_distinct (HyperLogLog++) and
+    approx_percentile (t-digest-style). Estimates are engine-specific,
+    so no cross-engine oracle — the exact twins are q07/q28."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps_1pct"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+        F.expr("approx_percentile(l_extendedprice, array(0.25, 0.95))").alias(
+            "approx_quantiles"
+        ),
+    )
+
+
+@query(
+    "q43_min_by_max_by_first_last",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN_BY(o_orderkey, o_totalprice) AS cheapest_order,
+           MAX_BY(o_orderkey, o_totalprice) AS priciest_order,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "min_by"),
+)
+def q43_min_by_max_by_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by argmin-argmax aggregates (ties impossible here:
+    totalprice is continuous; were they possible, wrap key in a struct
+    with a tiebreak)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("min_by(o_orderkey, o_totalprice)").alias("cheapest_order"),
+            F.expr("max_by(o_orderkey, o_totalprice)").alias("priciest_order"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q44_collect_list_sorted",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           ARRAY_TO_STRING(LIST(n_name ORDER BY n_name), ',') AS nations_csv,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "collect"),
+)
+def q44_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list -> array_sort -> join to CSV: ordered collection
+    aggregate projected as a scalar (engines hash arrays differently;
+    strings compare exactly). collect_list order is nondeterministic in
+    a distributed agg — ALWAYS array_sort before relying on it."""
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames, wave 2
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_window_range_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT d, revenue,
+           ROUND(SUM(revenue) OVER (ORDER BY d
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+             AS revenue_7d,
+           CAST(COUNT(*) OVER (ORDER BY d
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS days_present_7d
+    FROM daily ORDER BY d
+    """,
+    tags=("window", "range_frame"),
+)
+def q45_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over calendar days (true 7-DAY window, robust to
+    missing days — unlike the 7-ROW frame of q15)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    daily = daily.withColumn("d_epoch", F.datediff("d", F.lit("1970-01-01").cast("date")))
+    w = W.orderBy("d_epoch").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "d",
+            "revenue",
+            F.round(F.sum("revenue").over(w), 2).alias("revenue_7d"),
+            F.count(F.lit(1)).over(w).alias("days_present_7d"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "q46_window_first_last_nth",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price,
+             FIRST_VALUE(l_linenumber) OVER w AS first_line,
+             LAST_VALUE(l_linenumber) OVER w AS last_line,
+             NTH_VALUE(l_linenumber, 2) OVER w AS second_line
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT * FROM ranked WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("window", "first_last"),
+)
+def q46_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicit unbounded
+    frame (the default frame would make last_value = current row)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+            F.first("l_linenumber").over(w).alias("first_line"),
+            F.last("l_linenumber").over(w).alias("last_line"),
+            F.nth_value("l_linenumber", 2).over(w).alias("second_line"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicates, wave 2: LIKE / regexp / IN / BETWEEN / null handling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q47_like_regexp_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand,
+           p_name LIKE '%part_1%' AS has_part_1,
+           p_brand LIKE 'Brand#1_' AS brand_1x,
+           REGEXP_MATCHES(p_type, '^(ECONOMY|PROMO)') AS is_econ_promo,
+           REGEXP_EXTRACT(p_brand, '#([0-9]+)', 1) AS brand_num,
+           p_size IN (1, 5, 9) AS size_in_set,
+           p_size BETWEEN 10 AND 20 AS size_mid,
+           CAST(p_retailprice IS NOT NULL AS BOOLEAN) AS price_present
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("filter", "regexp", "like"),
+)
+def q47_like_regexp_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE (with _ wildcard), RLIKE anchors, regexp_extract groups,
+    IN-lists, BETWEEN, IS NOT NULL — the predicate family as projected
+    booleans so every value is oracle-checked."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.col("p_name").like("%part_1%").alias("has_part_1"),
+        F.col("p_brand").like("Brand#1_").alias("brand_1x"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_econ_promo"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.col("p_size").isin(1, 5, 9).alias("size_in_set"),
+        F.col("p_size").between(10, 20).alias("size_mid"),
+        F.col("p_retailprice").isNotNull().alias("price_present"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q48_grouping_sets_sql",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY 1, 2
+    """,
+    tags=("agg", "grouping_sets", "sql"),
+)
+def q48_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (rollup/cube are
+    the shorthands; this is the general form)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+               COALESCE(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+               COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 2) AS bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY 1, 2
+        """
+    )
+
+
+@query(
+    "q49_in_subquery_correlated",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      AND s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2)
+    ORDER BY s_suppkey
+    """,
+    tags=("subquery", "in", "sql"),
+)
+def q49_in_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery + scalar subquery through SQL (Catalyst rewrites IN
+    to a left-semi join, the scalar to a broadcast)."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+          AND s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "q54_sample_deterministic",
+    oracle=None,  # sampling is engine-specific by nature; rows-only check
+    tags=("sample",),
+)
+def q54_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — reproducible within Spark (seed fixed),
+    not across engines. The deterministic cross-engine alternative is a
+    hash-mod filter: pmod(xxhash64(key), 10) = 0 (that form is how a
+    100 TB pipeline takes a stable 10% slice)."""
+    o = load(spark, sf_dir, "orders")
+    stable = o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(10)) == 0)
+    return stable.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")

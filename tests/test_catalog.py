@@ -37,9 +37,15 @@ def test_all_oracles_parse_in_duckdb(duck):
             duck.execute(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
 
 
+# Queries whose result is legitimately empty at the tiny sf0.001 scale
+# (anti-join finds no orphans; the correlated supplier filter can select
+# nobody from a 10-row table).
+MAY_BE_EMPTY = {"q11_join_anti", "q49_in_subquery_correlated"}
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_runs_and_has_rows(spark, name):
     df = SPECS[name].fn(spark, SF_DIR)
     # schema resolves and at least one row exists for every fixture query
     assert df.columns
-    assert df.limit(1).count() >= (0 if name == "q11_join_anti" else 1)
+    assert df.limit(1).count() >= (0 if name in MAY_BE_EMPTY else 1)
