@@ -160,3 +160,112 @@ def lsh_topk_cosine(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector twin of MinHash
+    text dedup): LSH buckets generate candidates, exact cosine keeps
+    pairs >= threshold.
+
+    High-cosine pairs collide in sign-projection buckets with
+    probability (1 - theta/pi)^n_planes, so near-identical vectors
+    (theta ~ 0) are found with near-certainty while the bucket join stays
+    O(sum(bucket^2)). Raise recall with fewer planes or multi-probe.
+    """
+    b = lsh_bucket_candidates(emb, n_planes, dim, id_col).select(
+        F.col(id_col).alias("_id"), "bucket"
+    )
+    v = emb.select(F.col(id_col).alias("_id"), F.col("embedding").alias("_emb"))
+    a = b.alias("a").join(v.alias("va"), F.col("a._id") == F.col("va._id"))
+    bb = b.alias("b").join(v.alias("vb"), F.col("b._id") == F.col("vb._id"))
+    cand = a.join(
+        bb,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("vec_id_a"),
+        F.col("b._id").alias("vec_id_b"),
+        cosine(F.col("va._emb"), F.col("vb._emb")).alias("cos_raw"),
+    )
+    return (
+        cand.filter(F.col("cos_raw") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
+        .distinct()
+    )
+
+
+def ivf_topk_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    around centroids; queries search only their n_probe nearest cells.
+
+    Centroids here are a deterministic corpus sample (every (n/m)-th
+    vector by id) rather than trained k-means — the partition/probe
+    machinery is identical and fully reproducible; swapping in trained
+    centroids changes recall, not the plan. Scale: corpus assignment is
+    a broadcast-centroid map stage; the search join touches
+    n_probe/n_centroids of the corpus per query.
+    """
+    w_rank = W.orderBy(F.col(id_col))
+    numbered = corpus.withColumn("_rn", F.row_number().over(w_rank))
+    n_total = corpus.count()
+    step = max(n_total // n_centroids, 1)
+    centroids = (
+        numbered.filter((F.col("_rn") % step == 1) & (F.col("_rn") <= step * n_centroids))
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+
+    def assign(df: DataFrame, vid: str, emb_alias: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            F.col(vid),
+            F.col("centroid_id"),
+            cosine(F.col(emb_alias), F.col("c_emb")).alias("c_cos"),
+        )
+        w = W.partitionBy(vid).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= keep)
+            .select(vid, "centroid_id")
+        )
+
+    corpus_cells = assign(
+        fan_out(corpus).select(id_col, "embedding"), id_col, "embedding", 1
+    ).withColumnRenamed(id_col, "neighbor_id")
+    q_cells = assign(
+        queries.select(id_col, "embedding"), id_col, "embedding", n_probe
+    ).withColumnRenamed(id_col, "query_id")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("c_emb2"))
+    cand = (
+        q_cells.join(corpus_cells, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb2")).alias("cos_raw")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )

@@ -27,7 +27,12 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from ..operators.similarity import brute_force_topk_cosine, lsh_bucket_candidates
+from ..operators.similarity import (
+    brute_force_topk_cosine,
+    embedding_near_dup_pairs,
+    ivf_topk_cosine,
+    lsh_bucket_candidates,
+)
 from ..operators.text import (
     en_stopword_ratio,
     language_id,
@@ -396,3 +401,76 @@ def q73_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q74_embedding_near_dup_exact",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+             AS cos_raw
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, ROUND(cos_raw, 6) AS cosine
+    FROM pairs WHERE cos_raw >= 0.35
+    ORDER BY vec_id_a, vec_id_b
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def q74_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs on a bounded
+    slice (vec_id < 300) — the verifiable baseline for q75's LSH path
+    (same reason q70 bounds the exact Jaccard)."""
+    from ..operators.similarity import cosine
+
+    sub = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    # threshold calibrated to the fixture: max pairwise cosine ~0.46
+    a = sub.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
+    b = sub.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b")).select(
+        "vec_id_a", "vec_id_b", cosine(F.col("ea"), F.col("eb")).alias("cos_raw")
+    )
+    return (
+        pairs.filter(F.col("cos_raw") >= 0.35)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+@query(
+    "q75_embedding_near_dup_lsh",
+    oracle=None,  # LSH candidate recall is probabilistic by design
+    tags=("llm", "dedup", "embedding", "lsh"),
+)
+def q75_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at corpus scale: LSH bucket candidates +
+    exact cosine threshold (operators/similarity.py::
+    embedding_near_dup_pairs) — the O(sum(bucket^2)) form of q74."""
+    # 3 planes: the fixture has no true near-identical vectors (max
+    # cosine ~0.46), so planes are lowered until moderate-similarity
+    # pairs collide — the same recall dial a real corpus would tune.
+    return embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=3
+    ).orderBy("vec_id_a", "vec_id_b")
+
+
+@query(
+    "q76_ivf_topk_cosine",
+    oracle=None,  # ANN recall engine-specific; exact baseline is q71
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def q76_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k (centroid cells + n_probe search) — the
+    second scale path beside LSH (q72); recall measured against the
+    exact baseline q71 in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk_cosine(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=16, n_probe=4
+    ).orderBy("query_id", "rnk")

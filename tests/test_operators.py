@@ -187,3 +187,44 @@ def test_bpe_ish_token_count(spark):
     n = df.select(bpe_ish_token_count(F.col("text")).alias("n")).collect()[0].n
     # 'short' -> 2 pieces (ceil(5/4)), 'supercalifragilistic' (20 chars) -> 5
     assert n == 7
+
+
+def test_embedding_near_dup_pairs_finds_identical(spark):
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    vecs = [
+        Row(vec_id=i, embedding=[float((i * 64 + j) % 97) for j in range(64)])
+        for i in range(30)
+    ]
+    vecs.append(Row(vec_id=100, embedding=vecs[0].embedding))  # exact dup of 0
+    df = spark.createDataFrame(vecs)
+    pairs = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in embedding_near_dup_pairs(df, threshold=0.999).collect()
+    }
+    assert pairs.get((0, 100)) == 1.0
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF with n_probe=4 of 16 cells recovers most exact top-5
+    neighbors (recall measured against the brute-force baseline)."""
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        ivf_topk_cosine,
+    )
+    from airflow_scraping_etl_tutorial_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk_cosine(queries, emb, k=5).collect()
+    approx = ivf_topk_cosine(queries, emb, k=5, n_centroids=16, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"recall {recall}"
+    # and every IVF hit's cosine is exact (re-ranking is exact math)
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9

@@ -134,3 +134,25 @@ def test_late_data_beyond_watermark_dropped(spark, tmp_path):
     out = {str(r.ws): r.n for r in spark.sql("SELECT * FROM late").collect()}
     # the 00:00 window was finalized with ONLY the on-time row
     assert out.get("2024-01-01 00:00:00") == 1
+
+
+def test_stateful_user_totals_matches_batch(spark, events_dir):
+    from airflow_scraping_etl_tutorial_spark.streaming.events import (
+        stateful_user_totals,
+    )
+
+    stream = stream_from_dir(spark, events_dir)
+    got = _run_to_memory(spark, stateful_user_totals(stream), "totals", "update")
+    # update mode: keep the LAST emitted row per user (the final state)
+    final = {}
+    for r in got.collect():
+        final[r.user_id] = (r.n_events, round(r.total_value, 6))
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    )
+    expected = {r.user_id: (r.n, r.v) for r in batch.collect()}
+    assert {u: nv[0] for u, nv in final.items()} == {
+        u: nv[0] for u, nv in expected.items()
+    }
