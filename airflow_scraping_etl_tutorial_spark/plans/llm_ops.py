@@ -453,11 +453,13 @@ def q75_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at corpus scale: LSH bucket candidates +
     exact cosine threshold (operators/similarity.py::
     embedding_near_dup_pairs) — the O(sum(bucket^2)) form of q74."""
-    # 3 planes: the fixture has no true near-identical vectors (max
-    # cosine ~0.46), so planes are lowered until moderate-similarity
-    # pairs collide — the same recall dial a real corpus would tune.
+    # 6 planes: the fixture has no true near-identical vectors (max
+    # cosine ~0.46), so the plane count is the recall-vs-cost dial — at
+    # 3 planes the bucket self-join balloons to ~300M candidate pairs at
+    # sf0.1 (measured 13s); 6 planes keeps buckets ~64x smaller while
+    # still colliding moderate-similarity pairs.
     return embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=3
+        load(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6
     ).orderBy("vec_id_a", "vec_id_b")
 
 
@@ -474,3 +476,60 @@ def q76_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_cosine(
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=16, n_probe=4
     ).orderBy("query_id", "rnk")
+
+
+@query(
+    "q77_training_data_prep_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM scored WHERE n_tokens BETWEEN 20 AND 2000 AND lang IN ('en', 'de')
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(lang) AS lang,
+             ANY_VALUE(n_tokens) AS n_tokens
+      FROM filtered GROUP BY MD5(text)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tokens), 6) AS avg_tokens
+    FROM deduped GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "pipeline", "dedup", "agg"),
+)
+def q77_training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A composite training-data prep pass — the operators of this
+    module chained the way a real corpus build chains them:
+    quality/length filter -> language gate -> exact dedup (hash-grouped,
+    keep min id) -> corpus accounting.
+
+    One declarative plan: Catalyst fuses the filters into the scan, the
+    dedup is one digest-keyed shuffle, the accounting rides the same
+    aggregation. At 100 TB this is scan -> one exchange -> tiny output.
+    """
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "text", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    filtered = scored.filter(
+        F.col("n_tokens").between(20, 2000) & F.col("lang").isin("en", "de")
+    )
+    deduped = filtered.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("lang").alias("lang"),
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
