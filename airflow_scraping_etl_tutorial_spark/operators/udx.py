@@ -1,0 +1,87 @@
+"""User-defined extension points: Python UDTF and Pandas-UDAF examples.
+
+SURVEY.md §2 notes the reference's Python callables are all effectively
+driver-side UDFs; the engine's doctrine is built-ins first (§2.4-2.9 are
+100% built-in expressions). These are the sanctioned escape hatches for
+when composition genuinely runs out, shown once each so the pattern is
+on the shelf:
+
+- a Python UDTF (1 row -> N rows with state per row) — Spark 4's
+  table-function form; prefer explode()/posexplode over a UDTF whenever
+  the expansion is expressible as an array (it almost always is);
+- a Pandas grouped-agg UDAF (vectorized Arrow batches, one scalar per
+  group) — prefer built-in aggregates; reach for this only for
+  algorithms Spark lacks (here: a trimmed mean).
+
+Both run in Python workers — Arrow-batched, but still off the codegen
+fast path. Keep them OUT of per-row hot loops at 100 TB; use them at
+aggregation boundaries where cardinality has already collapsed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+
+@udtf(returnType="chunk_no: int, chunk: string, n_tokens: int")
+class ChunkDocument:
+    """UDTF: split a document into fixed-token chunks (the standard
+    LLM-training preprocessing step: long doc -> training-window-sized
+    pieces). One input row yields ceil(n/chunk_size) output rows."""
+
+    def eval(self, text: str, chunk_size: int):  # noqa: A002
+        if not text:
+            return
+        words = text.split(" ")
+        for i in range(0, len(words), chunk_size):
+            piece = words[i : i + chunk_size]
+            yield (i // chunk_size, " ".join(piece), len(piece))
+
+
+def chunk_documents(docs: DataFrame, chunk_size: int = 32) -> DataFrame:
+    """Apply the chunking UDTF via LATERAL join: every doc expands to
+    its chunks, keyed by (doc_id, chunk_no)."""
+    docs.createOrReplaceTempView("_docs_to_chunk")
+    docs.sparkSession.udtf.register("chunk_document", ChunkDocument)
+    return docs.sparkSession.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_no, c.chunk, c.n_tokens
+        FROM _docs_to_chunk d,
+             LATERAL chunk_document(d.text, {int(chunk_size)}) c
+        """
+    )
+
+
+@pandas_udf("double")
+def trimmed_mean_udaf(v: pd.Series) -> float:
+    """Pandas grouped-agg UDAF: 10%-trimmed mean (drop the top and
+    bottom decile, average the rest) — a robust-statistics aggregate
+    Spark has no built-in for."""
+    if len(v) < 3:
+        return float(v.mean())
+    lo, hi = v.quantile(0.1), v.quantile(0.9)
+    kept = v[(v >= lo) & (v <= hi)]
+    return float(kept.mean()) if len(kept) else float(v.mean())
+
+
+def robust_price_stats(orders: DataFrame) -> DataFrame:
+    """Per-status robust price summary: the Pandas UDAF and the built-in
+    aggregates run as two groupBys joined on the key — Spark disallows
+    mixing pandas and JVM aggregates in one agg (INVALID_PANDAS_UDF_
+    PLACEMENT), and the join is tiny (one row per group)."""
+    robust = orders.groupBy("o_orderstatus").agg(
+        trimmed_mean_udaf("o_totalprice").alias("trimmed_raw")
+    )
+    plain = orders.groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return robust.join(plain, "o_orderstatus").select(
+        "o_orderstatus",
+        F.round("trimmed_raw", 4).alias("trimmed_mean_price"),
+        "mean_price",
+        "n",
+    )

@@ -533,3 +533,71 @@ def q77_training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q78_top_words_by_lang",
+    oracle="""
+    WITH words AS (
+      SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ),
+    counted AS (
+      SELECT lang, word, COUNT(*) AS n FROM words GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, word, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
+      FROM counted
+    )
+    SELECT lang, word, n, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY lang, rnk
+    """,
+    tags=("llm", "text", "topk", "explode"),
+)
+def q78_top_words_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 words per language: explode -> count -> windowed top-k.
+    The vocabulary-accounting query every corpus build runs; the word
+    explode is the only row expansion and the count collapses it
+    map-side before the shuffle."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    counted = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    )
+
+
+@query(
+    "q79_udtf_chunking",
+    oracle=None,  # Python UDTF: engine-side extension point (rows-only)
+    tags=("llm", "udtf", "chunking"),
+)
+def q79_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via a Python UDTF (operators/udx.py): long doc
+    -> training-window-sized pieces through a LATERAL table function.
+    The sanctioned non-explode row-expansion escape hatch."""
+    from ..operators.udx import chunk_documents
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return chunk_documents(docs, chunk_size=32).orderBy("doc_id", "chunk_no")
+
+
+@query(
+    "q85_pandas_udaf_trimmed_mean",
+    oracle=None,  # Pandas UDAF: engine-side extension point (rows-only)
+    tags=("agg", "udaf", "pandas"),
+)
+def q85_pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (10%-trimmed) mean via a Pandas grouped-agg UDAF composed
+    with built-in aggregates in one groupBy (operators/udx.py)."""
+    from ..operators.udx import robust_price_stats
+
+    return robust_price_stats(load(spark, sf_dir, "orders")).orderBy("o_orderstatus")

@@ -228,3 +228,25 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_cos:
             assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_udtf_chunking_expansion(spark):
+    from airflow_scraping_etl_tutorial_spark.operators.udx import chunk_documents
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(f"w{i}" for i in range(70)))]
+    )
+    chunks = chunk_documents(df, chunk_size=32).collect()
+    assert [(c.chunk_no, c.n_tokens) for c in chunks] == [(0, 32), (1, 32), (2, 6)]
+    assert chunks[0].chunk.startswith("w0 ") and chunks[2].chunk.endswith("w69")
+
+
+def test_pandas_udaf_trimmed_mean(spark):
+    from airflow_scraping_etl_tutorial_spark.operators.udx import robust_price_stats
+
+    rows = [Row(o_orderstatus="F", o_totalprice=float(v)) for v in range(1, 11)]
+    rows.append(Row(o_orderstatus="F", o_totalprice=1_000_000.0))  # outlier
+    out = robust_price_stats(spark.createDataFrame(rows)).collect()[0]
+    assert out.n == 11
+    assert out.trimmed_mean_price < 100  # outlier trimmed away
+    assert out.mean_price > 90000  # plain mean keeps it
