@@ -601,3 +601,56 @@ def q85_pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.udx import robust_price_stats
 
     return robust_price_stats(load(spark, sf_dir, "orders")).orderBy("o_orderstatus")
+
+
+@query(
+    "q86_minhash_estimation_accuracy",
+    oracle=None,  # self-validation of an engine-internal estimator
+    tags=("llm", "dedup", "minhash", "validation"),
+)
+def q86_minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-validation: for every LSH candidate pair, compare the
+    MinHash ESTIMATE of Jaccard (fraction of agreeing signature slots)
+    with the EXACT shingle Jaccard, reporting mean absolute error and
+    the estimator's bias. The operator ships with its own accuracy
+    audit — at 100 TB you monitor this on a sampled slice per run."""
+    from ..operators.dedup import _minhash_cols, shingle_hashes
+
+    n_hashes = 16
+    d = load(spark, sf_dir, "documents")
+    pre = d.select(
+        F.col("doc_id"), shingle_hashes(F.col("text"), 3).alias("shingles")
+    )
+    sig = pre.select("doc_id", "shingles", *_minhash_cols(F.col("shingles"), n_hashes))
+    cand = minhash_near_duplicates(d, jaccard_threshold=0.0).select(
+        "doc_id_a", "doc_id_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(n_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(n_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(n_hashes)
+    )
+    scored = (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "exact_jaccard",
+            (agree / F.lit(float(n_hashes))).alias("estimated_jaccard"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("estimated_jaccard") - F.col("exact_jaccard"))), 4).alias(
+            "mae"
+        ),
+        F.round(F.avg(F.col("estimated_jaccard") - F.col("exact_jaccard")), 4).alias(
+            "bias"
+        ),
+    )

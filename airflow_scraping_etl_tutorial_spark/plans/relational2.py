@@ -465,3 +465,115 @@ def q56_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "nation_name")
     )
+
+
+@query(
+    "q57_null_safe_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS maybe_status
+      FROM orders WHERE o_orderkey < 300
+    )
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+    FROM t a JOIN t b
+      ON a.maybe_status IS NOT DISTINCT FROM b.maybe_status
+     AND a.o_orderkey < b.o_orderkey
+     AND a.o_orderkey < 30
+    ORDER BY key_a, key_b
+    """,
+    tags=("join", "null_safe"),
+)
+def q57_null_safe_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics regular equi-joins silently drop.
+    The nulls are manufactured (o_orderkey % 3) since fixtures are
+    null-free; a real corpus is not."""
+    t = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 3 == 0, None)
+            .otherwise(F.col("o_orderstatus"))
+            .alias("maybe_status"),
+        )
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.maybe_status").eqNullSafe(F.col("b.maybe_status"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.o_orderkey") < 30),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("key_a"), F.col("b.o_orderkey").alias("key_b")
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+@query(
+    "q58_month_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+           CAST(DATE_TRUNC('month', o_orderdate) - INTERVAL 1 DAY AS DATE)
+             AS prev_month_end,
+           ROUND(CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+                 AS DOUBLE) / 30.4375, 2) AS approx_months_to_2000
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+    tags=("functions", "date", "interval"),
+)
+def q58_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware month arithmetic: add_months handles month-length
+    irregularities (Jan 31 + 1 month = Feb 28); months_between is
+    deliberately avoided in the oracle compare because Spark and DuckDB
+    define fractional months differently — the portable form divides
+    day deltas by the mean month length."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus_3_months"),
+        F.date_sub(F.date_trunc("month", "o_orderdate").cast("date"), 1).alias(
+            "prev_month_end"
+        ),
+        F.round(
+            F.datediff(
+                F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+            ).cast("double")
+            / 30.4375,
+            2,
+        ).alias("approx_months_to_2000"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q59_bitwise_functions",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 12 AS size_and,
+           p_size | 3 AS size_or,
+           XOR(p_size, 5) AS size_xor,
+           p_size << 2 AS size_shl,
+           p_size >> 1 AS size_shr,
+           CAST(BIT_COUNT(CAST(p_size AS BIGINT)) AS INTEGER) AS size_popcount
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("functions", "bitwise"),
+)
+def q59_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (&, |, xor, shifts, popcount) — the primitives the
+    SimHash/LSH operators build on, exposed as a checked query."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").bitwiseAND(12).alias("size_and"),
+        F.col("p_size").bitwiseOR(3).alias("size_or"),
+        F.col("p_size").bitwiseXOR(5).alias("size_xor"),
+        F.shiftleft("p_size", 2).alias("size_shl"),
+        F.shiftright("p_size", 1).alias("size_shr"),
+        F.bit_count(F.col("p_size").cast("bigint")).alias("size_popcount"),
+    ).orderBy("p_partkey")
