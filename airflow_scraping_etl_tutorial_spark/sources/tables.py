@@ -32,18 +32,37 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs every catalog query depends on.
+
+    Queries must be correct even when the CALLER built the session (the
+    driver harness does) — session.py's builder defaults only cover our
+    own entry points. All three are runtime-settable SQLConfs:
+    - nanosAsLong: the events fixture is parquet TIMESTAMP(NANOS),
+      unreadable by Spark otherwise;
+    - session timezone UTC: timestamp formatting must agree with the
+      UTC-naive DuckDB oracle;
+    - AQE on (default since 3.2, pinned anyway — plans are designed
+      around runtime coalescing/skew handling).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table as a DataFrame.
 
     events.ts is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    only as a raw long (spark.sql.legacy.parquet.nanosAsLong, set in
-    session.py). Convert ns -> µs with exact integer division (`div`,
-    not `/` — a double division loses precision above 2^53) and restore
+    only as a raw long (nanosAsLong, pinned by ensure_session_defaults).
+    Convert ns -> µs with exact integer division (`div`, not `/` — a
+    double division loses precision above 2^53) and restore
     TimestampType; the fixture's timestamps carry only µs precision, so
     the truncation is lossless.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_defaults(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
