@@ -255,9 +255,11 @@ def ngram_jaccard_pairs(
     document-frequency cap on hot shingles (stop-shingle pruning) to
     bound the worst bucket.
     """
+    # persist: sizes + BOTH sides of the inverted-index self-join read
+    # the shingle sets — without it the shingling map runs three times
     sh = fan_out(df).select(
         F.col(id_col), shingle_hashes(F.col("text"), shingle_size).alias("shingles")
-    )
+    ).persist()
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")

@@ -58,17 +58,21 @@ def main() -> None:
     specs = all_queries()
 
     def run(name: str) -> float:
+        # isolate queries: drop persisted intermediates (q68's signature
+        # cache etc.) so one query's cache/GC pressure can't skew the next
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     # Steady-state measurement: one untimed warm pass (JVM/codegen/
-    # parquet-footer caches), then the timed pass. Matches how a
-    # long-running cluster actually executes these plans.
+    # parquet-footer caches), then best-of-two timed runs per query —
+    # matches how a long-running cluster executes these plans and damps
+    # co-tenant noise on the bench host.
     for name in HEADLINE:
         run(name)
 
-    timings = {name: round(run(name), 3) for name in HEADLINE}
+    timings = {name: round(min(run(name), run(name)), 3) for name in HEADLINE}
 
     print(
         json.dumps(
