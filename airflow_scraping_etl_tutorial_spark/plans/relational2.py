@@ -577,3 +577,66 @@ def q59_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("p_size", 1).alias("size_shr"),
         F.bit_count(F.col("p_size").cast("bigint")).alias("size_popcount"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "q87_data_quality_gates",
+    oracle="""
+    SELECT 'fk(o_custkey->c_custkey)' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS n_violations,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+             AS passed
+    UNION ALL
+    SELECT 'fk(l_orderkey->o_orderkey)',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           (SELECT COALESCE(SUM(n - 1), 0) FROM
+             (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+           (SELECT COALESCE(SUM(n - 1), 0) FROM
+             (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) = 0
+    UNION ALL
+    SELECT 'not_null(o_orderkey,o_custkey)',
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL),
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL) = 0
+    UNION ALL
+    SELECT 'range(l_discount,[0.0,0.1])',
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount NOT BETWEEN 0.0 AND 0.1),
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount NOT BETWEEN 0.0 AND 0.1) = 0
+    ORDER BY check_name
+    """,
+    tags=("validation", "quality"),
+)
+def q87_data_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate suite (functions/validation.py) over the star
+    schema: referential integrity (anti-joins), PK uniqueness, null and
+    range gates — the engine-wide form of the reference's single arity
+    check (P7). One report DataFrame; the driver routes on it the way
+    run_daily_load routes on validate()."""
+    from ..functions.validation import (
+        check_not_null,
+        check_range,
+        check_referential,
+        check_unique,
+        run_checks,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    report = run_checks(
+        [
+            check_referential(orders, "o_custkey", customer, "c_custkey"),
+            check_referential(lineitem, "l_orderkey", orders, "o_orderkey"),
+            check_unique(orders, ["o_orderkey"]),
+            check_not_null(orders, ["o_orderkey", "o_custkey"]),
+            check_range(lineitem, "l_discount", 0.0, 0.1),
+        ]
+    )
+    return report.orderBy("check_name")

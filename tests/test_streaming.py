@@ -156,3 +156,19 @@ def test_stateful_user_totals_matches_batch(spark, events_dir):
     assert {u: nv[0] for u, nv in final.items()} == {
         u: nv[0] for u, nv in expected.items()
     }
+
+
+def test_sliding_counts_stream_runs(spark, events_dir):
+    from airflow_scraping_etl_tutorial_spark.streaming.events import sliding_counts
+
+    got = _run_to_memory(
+        spark, sliding_counts(stream_from_dir(spark, events_dir)), "sliding", "complete"
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got_map = {str(r.window_start): r.n_events for r in got.collect()}
+    batch_map = {str(r.w.start): r.n_events for r in batch.collect()}
+    assert got_map == batch_map
