@@ -129,15 +129,26 @@ def lsh_topk_cosine(
     n_planes: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """ANN top-k: LSH bucket join for candidates, exact cosine re-rank.
 
     Recall < 1 by construction (bucket collisions only); raise recall by
-    lowering n_planes (bigger buckets) or probing neighboring buckets.
+    lowering n_planes (bigger buckets) or multi_probe=True, which also
+    probes every bucket at Hamming distance 1 from the query's bucket
+    (the n_planes near-miss buckets — a vector near a hyperplane falls
+    on either side with near-equal probability, so flipping one bit
+    recovers exactly those borderline misses at (n_planes+1)x the
+    candidate lookups, corpus state unchanged).
     """
     qb = lsh_bucket_candidates(queries, n_planes, dim, id_col).select(
         F.col(id_col).alias("query_id"), "bucket"
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << p) for p in range(n_planes)]
+        )
+        qb = qb.select("query_id", F.explode(probes).alias("bucket"))
     cb = lsh_bucket_candidates(corpus, n_planes, dim, id_col).select(
         F.col(id_col).alias("neighbor_id"), "bucket"
     )

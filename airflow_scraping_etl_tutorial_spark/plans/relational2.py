@@ -640,3 +640,74 @@ def q87_data_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return report.orderBy("check_name")
+
+
+@query(
+    "q88_mode_deterministic",
+    oracle="""
+    WITH counted AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_nationkey, c_mktsegment, n,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY n DESC, c_mktsegment) AS rnk
+      FROM counted
+    )
+    SELECT c_nationkey AS nationkey, c_mktsegment AS modal_segment, n AS n_in_mode
+    FROM ranked WHERE rnk = 1 ORDER BY nationkey
+    """,
+    tags=("agg", "mode"),
+)
+def q88_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value per group) via count +
+    windowed argmax with a lexicographic tiebreak. Built this way
+    instead of Spark's mode() because mode() leaves ties
+    engine/partition-dependent — un-oracle-able by construction."""
+    c = load(spark, sf_dir, "customer")
+    counted = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("modal_segment"),
+            F.col("n").alias("n_in_mode"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q89_fuzzy_match_levenshtein",
+    oracle="""
+    WITH a AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 50),
+         b AS (SELECT p_partkey, p_name FROM part WHERE p_partkey >= 50 AND p_partkey < 100)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INTEGER) AS edit_distance
+    FROM a JOIN b ON LEVENSHTEIN(a.p_name, b.p_name) <= 3
+    ORDER BY key_a, key_b
+    """,
+    tags=("llm", "fuzzy", "string"),
+)
+def q89_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record matching on edit distance (levenshtein <= 3) over a
+    bounded slice pair. All-pairs edit distance is O(n*m*len^2) — at
+    scale the candidate set comes first (q68-style LSH blocking or a
+    q64 normalized-fingerprint exact pass), and levenshtein verifies
+    only candidates; the bounded slice here keeps the oracle honest."""
+    p = load(spark, sf_dir, "part")
+    a = p.filter(F.col("p_partkey") < 50).select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = p.filter(F.col("p_partkey").between(50, 99)).select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, dist <= 3)
+        .select("key_a", "key_b", dist.alias("edit_distance"))
+        .orderBy("key_a", "key_b")
+    )

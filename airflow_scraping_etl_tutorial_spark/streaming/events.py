@@ -153,3 +153,35 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def purchases_within_hour_of_signup(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same
+    user's signup that happened at most 1 hour earlier.
+
+    Both sides are watermarked; the join condition bounds the event-time
+    distance, so each side's state retains only the watermark+interval
+    horizon — the requirement for an unbounded stream-stream join to
+    have bounded state. (An unbounded-condition stream join would grow
+    state forever; Spark rejects it in append mode.)
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id"), F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", "2 hours")
+    )
+    return purchases.join(
+        signups,
+        (purchases.user_id == signups.user_id)
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", purchases.user_id, "purchase_ts", "signup_ts")

@@ -172,3 +172,34 @@ def test_sliding_counts_stream_runs(spark, events_dir):
     got_map = {str(r.window_start): r.n_events for r in got.collect()}
     batch_map = {str(r.w.start): r.n_events for r in batch.collect()}
     assert got_map == batch_map
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    from airflow_scraping_etl_tutorial_spark.streaming.events import (
+        purchases_within_hour_of_signup,
+    )
+
+    stream = stream_from_dir(spark, events_dir)
+    got = _run_to_memory(
+        spark, purchases_within_hour_of_signup(stream), "ssjoin", "append"
+    )
+    # batch equivalent over the same files
+    e = spark.read.parquet(events_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.col("ts").alias("sts")
+    )
+    batch = p.join(
+        s,
+        (p.user_id == F.col("su"))
+        & (F.col("pts") >= F.col("sts"))
+        & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    got_set = {(r.purchase_id, str(r.signup_ts)) for r in got.collect()}
+    batch_set = {(r.purchase_id, str(r.sts)) for r in batch.collect()}
+    # append-mode emits only watermark-closed matches; every emitted row
+    # must be a true match, and most true matches should have emitted
+    assert got_set <= batch_set
+    assert len(got_set) >= len(batch_set) * 0.5
