@@ -654,3 +654,27 @@ def q86_minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
             "bias"
         ),
     )
+
+
+@query(
+    "q90_neardup_cluster_dedup",
+    oracle=None,  # iterative label propagation: non-SQL-expressible
+    tags=("llm", "dedup", "cluster", "iterative"),
+)
+def q90_neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline: MinHash+LSH pairs ->
+    connected components (iterative label propagation,
+    operators/cluster.py) -> one canonical doc per cluster -> corpus
+    accounting. The genuinely-iterative operator the SQL oracle cannot
+    express; invariants (cluster transitivity, canonical uniqueness)
+    are pytest-verified instead."""
+    from ..operators.cluster import dedup_keep_canonical
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    marked = dedup_keep_canonical(docs, pairs)
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("n_canonical"),
+        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias("n_removed"),
+    ).orderBy("lang")

@@ -277,3 +277,32 @@ def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     # per-plane collision ~0.63, 8 planes => ~2.5% bucket recall);
     # multi-probe multiplies recall ~4x, which is what we assert
     assert r2 >= max(r1 * 2, 0.05)
+
+
+def test_connected_components_known_graph(spark):
+    from airflow_scraping_etl_tutorial_spark.operators.cluster import (
+        connected_components,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11}, singleton 20 not in edges
+    edges = spark.createDataFrame(
+        [Row(doc_id_a=1, doc_id_b=2), Row(doc_id_a=2, doc_id_b=3),
+         Row(doc_id_a=3, doc_id_b=4), Row(doc_id_a=10, doc_id_b=11)]
+    )
+    comp = {r.vertex_id: r.component_id for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_canonical_end_to_end(spark, docs):
+    from airflow_scraping_etl_tutorial_spark.operators.cluster import (
+        dedup_keep_canonical,
+    )
+
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.3)
+    marked = dedup_keep_canonical(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in marked}
+    # docs 1,2,3 cluster together (exact + near dup); 4 stands alone
+    assert by_id[1].component_id == by_id[2].component_id == by_id[3].component_id == 1
+    assert by_id[1].is_canonical
+    assert not by_id[2].is_canonical and not by_id[3].is_canonical
+    assert by_id[4].is_canonical and by_id[4].component_id == 4
