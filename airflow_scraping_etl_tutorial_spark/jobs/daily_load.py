@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None, fetcher=None, notify=None) -> int:
     parser.add_argument("--date", required=True, help="yyyyMMdd (reference P9 format)")
     parser.add_argument("--backfill-to", help="inclusive end date for a backfill range")
     parser.add_argument("--sink", required=True, help="parquet sink path")
+    parser.add_argument(
+        "--source",
+        choices=["twse", "golden"],
+        default="twse",
+        help="'golden' replays the captured fixture payloads offline "
+        "(demo/smoke mode; 'twse' hits the live endpoint)",
+    )
     args = parser.parse_args(argv)
 
     from ..pipeline.investment import run_daily_load
@@ -49,6 +56,17 @@ def main(argv: list[str] | None = None, fetcher=None, notify=None) -> int:
     dates = (
         date_range(args.date, args.backfill_to) if args.backfill_to else [args.date]
     )
+    if fetcher is None and args.source == "golden":
+        from ..sources import golden
+
+        by_date = {
+            p["date"]: p
+            for p in (golden.GOLDEN_OK, golden.GOLDEN_CLOSED, golden.GOLDEN_WRONG_ARITY)
+        }
+
+        def fetcher(spark_, ds):  # noqa: ANN001
+            return twse.payloads_to_df(spark_, [by_date[d] for d in ds if d in by_date])
+
     if fetcher is not None:
         payloads = fetcher(spark, dates)
     elif len(dates) == 1:

@@ -1,0 +1,59 @@
+"""Physical-plan regression guards: the properties PLANS.md documents,
+asserted so a future edit can't silently regress them — filters must
+reach the scan, dimensions must broadcast, global top-k must plan as
+TakeOrderedAndProject, and scans must prune columns."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_scraping_etl_tutorial_spark.plans import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+SPECS = all_queries()
+
+
+def final_plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()  # finalize AQE decisions
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = final_plan(spark, "q02_filter_project_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan or "o_orderstatus" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+
+
+def test_point_lookup_pushes_key_predicate(spark):
+    plan = final_plan(spark, "q03_point_lookup")
+    assert "EqualTo(o_orderkey,42)" in plan
+
+
+def test_flagship_joins_broadcast(spark):
+    plan = final_plan(spark, "q01_flagship_revenue_by_region_year")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # at fixture scale AQE broadcasts all sides
+
+
+def test_column_pruning(spark):
+    plan = final_plan(spark, "q01_flagship_revenue_by_region_year")
+    # the lineitem scan must read exactly the 3 needed columns
+    scans = [seg.split("]")[0] for seg in plan.split("FileScan parquet [")[1:]]
+    li_scans = [s for s in scans if "l_extendedprice" in s]
+    assert li_scans and all(s.count(",") == 2 for s in li_scans)
+    assert all("l_tax" not in s for s in li_scans)
+
+
+def test_global_topk_is_take_ordered(spark):
+    plan = final_plan(spark, "q18_global_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_and_anti_join_operators(spark):
+    semi = final_plan(spark, "q10_join_semi")
+    anti = final_plan(spark, "q11_join_anti")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
