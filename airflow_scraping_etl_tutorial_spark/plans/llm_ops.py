@@ -678,3 +678,51 @@ def q90_neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("n_canonical"),
         F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias("n_removed"),
     ).orderBy("lang")
+
+
+@query(
+    "q91_minhash_md5_oracle_checked",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+    )
+    SELECT doc_id,
+           LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('0|' || s))) AS mh_0,
+           LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('1|' || s))) AS mh_1,
+           LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('2|' || s))) AS mh_2,
+           LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5('3|' || s))) AS mh_3
+    FROM sh WHERE LEN(shingles) > 0
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "minhash", "oracle"),
+)
+def q91_minhash_md5_oracle_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with md5 hash functions — bit-for-bit
+    reproducible in BOTH engines, so the signature VALUES themselves sit
+    under the oracle hash gate (md5 hex is identical in Spark and
+    DuckDB, and lexicographic min over hex == min over the 128-bit
+    integers). The production path (q67/q68) uses xxhash64 for ~8x
+    cheaper hashing; this query pins the algorithm's semantics."""
+    from ..operators.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    pre = d.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    def seeded_md5_min(j: int):
+        # factory, NOT `lambda s, j=j`: F.transform inspects lambda
+        # arity, and a two-parameter callable receives (element, index)
+        # — the default arg would be silently replaced by the index
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+        )
+
+    return pre.select(
+        "doc_id", *[seeded_md5_min(j).alias(f"mh_{j}") for j in range(4)]
+    ).orderBy("doc_id")
