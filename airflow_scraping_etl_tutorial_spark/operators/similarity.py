@@ -96,16 +96,12 @@ def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_candidates(
+def bucket_keys(
     emb: DataFrame, n_planes: int = 16, dim: int = 64, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Sign-random-projection LSH bucketing.
-
-    Each vector gets an n_planes-bit bucket key (sign of the dot product
-    with each deterministic hyperplane). Vectors sharing a bucket are ANN
-    candidates; bucket population is reported so callers can see the
-    candidate-set size the join would produce.
-    """
+    """Sign-random-projection bucket key per vector: an n_planes-bit int
+    (sign of the dot product with each deterministic hyperplane).
+    Map-only — no shuffle; the joins downstream are where data moves."""
     v = as_double(F.col("embedding"))
     bucket = None
     for p, plane in enumerate(_deterministic_planes(n_planes, dim)):
@@ -115,7 +111,17 @@ def lsh_bucket_candidates(
         )
         term = F.shiftleft(bit, p)
         bucket = term if bucket is None else bucket + term
-    keyed = fan_out(emb).select(F.col(id_col), bucket.alias("bucket"))
+    return fan_out(emb).select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_bucket_candidates(
+    emb: DataFrame, n_planes: int = 16, dim: int = 64, id_col: str = "vec_id"
+) -> DataFrame:
+    """bucket_keys + per-bucket population (the reporting form: lets a
+    caller inspect the candidate-set size the bucket join would
+    produce). Internal consumers use bucket_keys directly and skip the
+    window shuffle this count costs."""
+    keyed = bucket_keys(emb, n_planes, dim, id_col)
     w = W.partitionBy("bucket")
     return keyed.select(
         id_col, "bucket", F.count(F.lit(1)).over(w).alias("bucket_size")
@@ -141,7 +147,7 @@ def lsh_topk_cosine(
     recovers exactly those borderline misses at (n_planes+1)x the
     candidate lookups, corpus state unchanged).
     """
-    qb = lsh_bucket_candidates(queries, n_planes, dim, id_col).select(
+    qb = bucket_keys(queries, n_planes, dim, id_col).select(
         F.col(id_col).alias("query_id"), "bucket"
     )
     if multi_probe:
@@ -149,7 +155,7 @@ def lsh_topk_cosine(
             F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << p) for p in range(n_planes)]
         )
         qb = qb.select("query_id", F.explode(probes).alias("bucket"))
-    cb = lsh_bucket_candidates(corpus, n_planes, dim, id_col).select(
+    cb = bucket_keys(corpus, n_planes, dim, id_col).select(
         F.col(id_col).alias("neighbor_id"), "bucket"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb"))
@@ -189,8 +195,12 @@ def embedding_near_dup_pairs(
     (theta ~ 0) are found with near-certainty while the bucket join stays
     O(sum(bucket^2)). Raise recall with fewer planes or multi-probe.
     """
-    b = lsh_bucket_candidates(emb, n_planes, dim, id_col).select(
-        F.col(id_col).alias("_id"), "bucket"
+    # persist: both sides of the bucket self-join read the keyed set,
+    # and bucket_keys (not the counting form) skips the window shuffle
+    b = (
+        bucket_keys(emb, n_planes, dim, id_col)
+        .select(F.col(id_col).alias("_id"), "bucket")
+        .persist()
     )
     v = emb.select(F.col(id_col).alias("_id"), F.col("embedding").alias("_emb"))
     a = b.alias("a").join(v.alias("va"), F.col("a._id") == F.col("va._id"))
