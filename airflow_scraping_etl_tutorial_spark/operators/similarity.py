@@ -196,22 +196,34 @@ def embedding_near_dup_pairs(
     O(sum(bucket^2)). Raise recall with fewer planes or multi-probe.
     """
     # persist: both sides of the bucket self-join read the keyed set,
-    # and bucket_keys (not the counting form) skips the window shuffle
+    # and bucket_keys (not the counting form) skips the window shuffle.
+    # The L2 norm is precomputed ONCE PER VECTOR here — computing
+    # cosine() per pair would redo both norms for every candidate pair
+    # (a vector in a k-vector bucket pays its norm k-1 times).
+    dbl = as_double(F.col("embedding"))
     b = (
         bucket_keys(emb, n_planes, dim, id_col)
-        .select(F.col(id_col).alias("_id"), "bucket")
+        .join(
+            emb.select(
+                F.col(id_col),
+                dbl.alias("_emb"),
+                F.sqrt(dot(dbl, dbl)).alias("_norm"),
+            ),
+            id_col,
+        )
+        .select(F.col(id_col).alias("_id"), "bucket", "_emb", "_norm")
         .persist()
     )
-    v = emb.select(F.col(id_col).alias("_id"), F.col("embedding").alias("_emb"))
-    a = b.alias("a").join(v.alias("va"), F.col("a._id") == F.col("va._id"))
-    bb = b.alias("b").join(v.alias("vb"), F.col("b._id") == F.col("vb._id"))
+    a, bb = b.alias("a"), b.alias("b")
     cand = a.join(
         bb,
         (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
     ).select(
         F.col("a._id").alias("vec_id_a"),
         F.col("b._id").alias("vec_id_b"),
-        cosine(F.col("va._emb"), F.col("vb._emb")).alias("cos_raw"),
+        (
+            dot(F.col("a._emb"), F.col("b._emb")) / (F.col("a._norm") * F.col("b._norm"))
+        ).alias("cos_raw"),
     )
     return (
         cand.filter(F.col("cos_raw") >= threshold)
