@@ -53,3 +53,35 @@ def test_partitioned_parquet_and_day_overwrite(spark, tmp_path):
 def test_jdbc_gated_with_clear_error(spark):
     with pytest.raises(Exception, match="(?i)driver|jdbc|class"):
         read_jdbc(spark, "jdbc:postgresql://nowhere/db", "t").collect()
+
+
+def test_continuous_rollup_incremental_refresh(spark, tmp_path):
+    """Hypertable-style rollup: full load, then a single-day refresh
+    touches only that day's partition."""
+    from airflow_scraping_etl_tutorial_spark.operators.rollup import (
+        read_rollup,
+        refresh_rollup,
+    )
+
+    events = load(spark, SF_DIR, "events")
+    path = str(tmp_path / "rollup")
+    refreshed = refresh_rollup(spark, events, path)
+    assert len(refreshed) >= 25  # ~30 days of events
+    full = read_rollup(spark, path)
+    n_total = full.count()
+
+    # rerun ONE day with its full slice: that day's rows are replaced
+    # in place, every other partition untouched
+    day = refreshed[0]
+    one_day = events.filter(F.date_format(F.date_trunc("hour", "ts"), "yyyyMMdd") == day)
+    again = refresh_rollup(spark, one_day, path)
+    assert again == [day]
+    after = read_rollup(spark, path)
+    assert after.count() == n_total
+    # and the rollup agrees with a direct aggregation of the source
+    direct = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    assert after.count() == direct
