@@ -1,0 +1,52 @@
+"""Cross-engine-deterministic aggregate expressions.
+
+A double SUM's last ulp depends on aggregation order, which depends on
+partitioning — so ROUND(SUM(double), 2) can flip a .xx5 boundary
+between engines OR between two Spark sessions with different shuffle
+partitioning (observed: q01 revenue 102470172.545 rounding to .55 vs
+.54). These helpers make money aggregates order-independent:
+
+  each term: double -> DECIMAL(18,6)   (deterministic per-term rounding;
+                                        a binary double is never exactly
+                                        at a 1e-7 tie, so no tie-breaks)
+  sum:       exact decimal arithmetic  (associative, order-free)
+  output:    ROUND(dec, scale) -> double  (same exact decimal -> same
+                                        double in every engine)
+
+Averages divide the exact decimal sum (as double) by the exact count —
+one deterministic double division instead of an order-dependent mean.
+
+Integer-valued doubles (quantities, counts) don't need this: their sums
+are exact in double up to 2^53. Moment aggregates (stddev/corr) can't
+be decimal-summed; they keep documented last-ulp risk.
+
+The oracle-side SQL twins are `ORACLE_SUM` / `ORACLE_MEAN` format
+strings so catalog entries stay textually in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def money_sum(col: Column, scale: int = 2) -> Column:
+    """Order-independent SUM of a real-valued double column."""
+    return F.round(F.sum(col.cast(DEC)), scale).cast("double")
+
+
+def money_mean(col: Column, scale: int = 6) -> Column:
+    """Order-independent mean: exact decimal sum / exact count."""
+    return F.round(
+        F.sum(col.cast(DEC)).cast("double") / F.count(col), scale
+    )
+
+
+# DuckDB twins (format with the expression and scale).
+ORACLE_SUM = "CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
+ORACLE_MEAN = (
+    "ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+    " / COUNT({cnt}), {scale})"
+)

@@ -381,8 +381,9 @@ def q72_lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vectors,
-           ROUND(AVG(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_l2_norm
+           ROUND(CAST(SUM(CAST(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(18,6)))
+             AS DOUBLE) / COUNT(*), 6) AS avg_l2_norm
     FROM embeddings GROUP BY label ORDER BY label
     """,
     tags=("llm", "similarity", "agg"),
@@ -397,7 +398,9 @@ def q73_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg(norm), 6).alias("avg_l2_norm"),
+            F.round(
+                F.sum(norm.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_l2_norm"),
         )
         .orderBy("label")
     )

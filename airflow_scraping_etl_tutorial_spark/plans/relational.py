@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.compare import money_mean, money_sum
 from ..sources.tables import load
 from .registry import query
 
@@ -36,7 +37,8 @@ from .registry import query
     oracle="""
     SELECT r.r_name AS region_name,
            CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST((l.l_extendedprice * (1 - l.l_discount))
+                 AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            COUNT(DISTINCT o.o_orderkey) AS n_orders
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -74,7 +76,7 @@ def q01_flagship_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> Dat
             F.year("o_orderdate").alias("order_year"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count_distinct("o_orderkey").alias("n_orders"),
@@ -153,12 +155,17 @@ def q03_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_base_price,
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount))
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax))
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(l_extendedprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2000-09-02'
@@ -182,12 +189,12 @@ def q04_groupby_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFra
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            money_mean(F.col("l_extendedprice")).alias("avg_price"),
+            money_mean(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -237,7 +244,8 @@ def q05_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
            COALESCE(o_orderpriority, 'ALL') AS order_priority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY 1, 2
@@ -251,7 +259,7 @@ def q06_cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            money_sum(F.col("o_totalprice")).alias("sum_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
@@ -296,7 +304,8 @@ def q07_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation_name,
            COUNT(*) AS n_customers,
-           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_acctbal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY 1 ORDER BY 1
     """,
@@ -313,7 +322,7 @@ def q08_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            money_sum(F.col("c_acctbal")).alias("total_acctbal"),
         )
         .orderBy("nation_name")
     )
@@ -323,7 +332,8 @@ def q08_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_join_left_outer",
     oracle="""
     SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
-           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+           COALESCE(CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2)
+             AS DOUBLE), 0) AS total_spent
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY 1 ORDER BY 1
     """,
@@ -338,7 +348,7 @@ def q09_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.coalesce(money_sum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -468,7 +478,8 @@ def q13_join_range_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS order_date,
-             ROUND(SUM(o_totalprice), 2) AS revenue
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue
       FROM orders GROUP BY 1
     )
     SELECT order_date, revenue,
@@ -491,7 +502,7 @@ def q14_window_lag_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(money_sum(F.col("o_totalprice")).alias("revenue"))
     )
     w = W.orderBy("order_date")
     return (
@@ -509,13 +520,16 @@ def q14_window_lag_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS order_date,
-             ROUND(SUM(o_totalprice), 2) AS revenue
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue
       FROM orders GROUP BY 1
     )
     SELECT order_date, revenue,
-           ROUND(AVG(revenue) OVER (ORDER BY order_date
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
-    FROM daily ORDER BY order_date
+           ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS ma7
+    FROM daily
+    WINDOW w AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY order_date
     """,
     tags=("window", "moving_avg"),
 )
@@ -524,12 +538,15 @@ def q15_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(money_sum(F.col("o_totalprice")).alias("revenue"))
     )
     w = W.orderBy("order_date").rowsBetween(-6, 0)
-    return daily.withColumn("ma7", F.round(F.avg("revenue").over(w), 4)).orderBy(
-        "order_date"
+    ma7 = F.round(
+        F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w),
+        4,
     )
+    return daily.withColumn("ma7", ma7).orderBy("order_date")
 
 
 @query(
@@ -537,7 +554,8 @@ def q15_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
       SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
-             ROUND(SUM(o.o_totalprice), 2) AS total_spent
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_spent
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
     ),
@@ -566,7 +584,7 @@ def q16_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nationkey"),
             F.col("c_custkey").alias("custkey"),
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .agg(money_sum(F.col("o_totalprice")).alias("total_spent"))
     )
     w = W.partitionBy("nationkey").orderBy(F.desc("total_spent"), F.asc("custkey"))
     return (
@@ -580,7 +598,8 @@ def q16_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_window_rank_dense_cume",
     oracle="""
     WITH nat AS (
-      SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS bal
+      SELECT s_nationkey AS nationkey,
+             CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
       FROM supplier GROUP BY 1
     )
     SELECT nationkey, bal,
@@ -599,7 +618,7 @@ def q17_window_rank_dense_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = (
         load(spark, sf_dir, "supplier")
         .groupBy(F.col("s_nationkey").alias("nationkey"))
-        .agg(F.round(F.sum("s_acctbal"), 2).alias("bal"))
+        .agg(money_sum(F.col("s_acctbal")).alias("bal"))
     )
     w = W.orderBy(F.desc("bal"), F.asc("nationkey"))
     return (
@@ -808,7 +827,8 @@ def q24_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT c.c_mktsegment AS mktsegment,
            COUNT(*) AS n_big_orders,
-           ROUND(SUM(b.o_totalprice), 2) AS revenue
+           CAST(ROUND(SUM(CAST(b.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS revenue
     FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
     GROUP BY 1 ORDER BY 1
     """,
@@ -827,7 +847,8 @@ def q25_cte_multi_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c.c_mktsegment AS mktsegment,
                COUNT(*) AS n_big_orders,
-               ROUND(SUM(b.o_totalprice), 2) AS revenue
+               CAST(ROUND(SUM(CAST(b.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS revenue
         FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
         """

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.compare import money_sum
 from ..operators.skew import salted_join
 from ..sources.tables import load
 from .registry import query
@@ -22,7 +23,8 @@ from .registry import query
     "q26_salted_join_equivalence",
     oracle="""
     SELECT n.n_name AS nation_name, COUNT(*) AS n_rows,
-           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_bal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY 1 ORDER BY 1
     """,
@@ -39,7 +41,7 @@ def q26_salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("n_name").alias("nation_name"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            money_sum(F.col("c_acctbal")).alias("total_bal"),
         )
         .orderBy("nation_name")
     )
@@ -191,13 +193,15 @@ def q44_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q45_window_range_frame",
     oracle="""
     WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS d, ROUND(SUM(o_totalprice), 2) AS revenue
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue
       FROM orders GROUP BY 1
     )
     SELECT d, revenue,
-           ROUND(SUM(revenue) OVER (ORDER BY d
+           CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (ORDER BY d
                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
-             AS revenue_7d,
+             AS DOUBLE) AS revenue_7d,
            CAST(COUNT(*) OVER (ORDER BY d
                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
              AS days_present_7d
@@ -210,7 +214,7 @@ def q45_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing days — unlike the 7-ROW frame of q15)."""
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        money_sum(F.col("o_totalprice")).alias("revenue")
     )
     daily = daily.withColumn("d_epoch", F.datediff("d", F.lit("1970-01-01").cast("date")))
     w = W.orderBy("d_epoch").rangeBetween(-6, 0)
@@ -218,7 +222,9 @@ def q45_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.select(
             "d",
             "revenue",
-            F.round(F.sum("revenue").over(w), 2).alias("revenue_7d"),
+            F.round(F.sum(F.col("revenue").cast("decimal(18,2)")).over(w), 2)
+            .cast("double")
+            .alias("revenue_7d"),
             F.count(F.lit(1)).over(w).alias("days_present_7d"),
         )
         .orderBy("d")
@@ -379,7 +385,8 @@ def q54_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_tpch_q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST((l.l_extendedprice * (1 - l.l_discount))
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            CAST(o.o_orderdate AS DATE) AS order_date,
            o.o_orderpriority AS order_priority
     FROM customer c
@@ -413,9 +420,9 @@ def q55_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("o_orderpriority").alias("order_priority"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -427,7 +434,8 @@ def q55_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     "q56_tpch_q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST((l.l_extendedprice * (1 - l.l_discount))
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            n.n_name AS nation_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -457,9 +465,9 @@ def q56_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)

@@ -30,7 +30,7 @@ from .registry import query
     SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
     tags=("streaming", "window", "agg"),
@@ -44,7 +44,9 @@ def q80_events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -68,7 +70,7 @@ def q80_events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM starts
     WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
     GROUP BY 1 ORDER BY 1
@@ -84,7 +86,9 @@ def q81_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),

@@ -12,6 +12,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -36,6 +37,8 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
+            if os.environ.get("STRICT_FLOATS"):
+                return v  # exact bit-for-bit comparison
             return float(f"{v:.9g}")
         # Decimal / date / datetime / str / int -> stable string form
         return str(v)
