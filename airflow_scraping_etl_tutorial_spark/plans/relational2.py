@@ -50,35 +50,70 @@ def q26_salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q27_stats_aggregates",
     oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4)))
+               AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+               AS DOUBLE) AS sxy,
+             ROUND(MIN(l_extendedprice), 2) AS min_price,
+             ROUND(MAX(l_extendedprice), 2) AS max_price
+      FROM lineitem GROUP BY 1
+    )
     SELECT l_returnflag,
-           ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_stddev,
-           ROUND(VAR_SAMP(l_quantity), 6) AS qty_var,
-           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covar,
-           ROUND(MIN(l_extendedprice), 2) AS min_price,
-           ROUND(MAX(l_extendedprice), 2) AS max_price
-    FROM lineitem GROUP BY 1 ORDER BY 1
+           ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS qty_stddev,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS qty_var,
+           ROUND((sxy - sx * sy / n)
+                 / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+             AS qty_price_corr,
+           ROUND((sxy - sx * sy / n) / (n - 1), 4) AS qty_price_covar,
+           min_price, max_price
+    FROM m ORDER BY l_returnflag
     """,
     tags=("agg", "stats"),
 )
 def q27_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stddev/variance/correlation/covariance — distributable moment
-    aggregates (single pass, partial+final, no extra shuffle)."""
+    """stddev/variance/correlation/covariance via exact decimal power
+    sums (sum x, sum x^2, sum xy ... summed order-free in decimal, the
+    statistics derived in identical double arithmetic on both sides).
+
+    Spark's built-in stddev_samp/corr use a streaming one-pass update
+    whose result depends on merge order — fine numerically, but not
+    bit-reproducible across partitionings; power sums are. The classic
+    cancellation concern with the textbook formula doesn't apply: the
+    sums are EXACT decimals, so the subtraction is of identical values
+    in every engine. One pass, partial+final aggregation, no extra
+    shuffle — same plan shape as the built-ins."""
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
-            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-                "qty_price_covar"
-            ),
-            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        )
-        .orderBy("l_returnflag")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((qty * qty).cast("decimal(18,6)")).cast("double").alias("sxx"),
+        F.sum(price.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((price * price).cast("decimal(24,4)")).cast("double").alias("syy"),
+        F.sum((qty * price).cast("decimal(18,4)")).cast("double").alias("sxy"),
+        F.round(F.min(price), 2).alias("min_price"),
+        F.round(F.max(price), 2).alias("max_price"),
     )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    covar = (sxy - sx * sy / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return m.select(
+        "l_returnflag",
+        F.round(F.sqrt(var), 6).alias("qty_stddev"),
+        F.round(var, 6).alias("qty_var"),
+        F.round(corr, 6).alias("qty_price_corr"),
+        F.round(covar, 4).alias("qty_price_covar"),
+        "min_price",
+        "max_price",
+    ).orderBy("l_returnflag")
 
 
 @query(
