@@ -20,6 +20,7 @@ aggregation boundaries where cardinality has already collapsed.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,3 +86,34 @@ def robust_price_stats(orders: DataFrame) -> DataFrame:
         "mean_price",
         "n",
     )
+
+
+@pandas_udf("double")
+def sigmoid_scalar_udf(v: pd.Series) -> pd.Series:
+    """Scalar Pandas UDF: vectorized numpy over Arrow batches — the
+    sanctioned shape when a per-row computation genuinely needs Python
+    (here a stand-in for e.g. a model score). ~10-100x over row-at-a-
+    time Python UDFs; still slower than built-ins — keep off hot paths.
+    """
+    return pd.Series(1.0 / (1.0 + np.exp(-v.to_numpy() / 100000.0)))
+
+
+def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-score normalization within each
+    group (each group arrives as ONE pandas DataFrame).
+
+    The built-in form (avg/stddev window or groupBy+join) is preferred
+    and produces the same result with no Python; this exists to
+    demonstrate the grouped-map contract — and its scale caveat: a
+    whole group must fit in one task's memory, so key cardinality and
+    skew decide whether this shape is usable at all.
+    """
+    out_schema = f"{key} string, {value} double, zscore double"
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf[value].mean()
+        sd = pdf[value].std(ddof=1)
+        z = (pdf[value] - mu) / sd if sd and sd > 0 else pdf[value] * 0.0
+        return pd.DataFrame({key: pdf[key], value: pdf[value], "zscore": z})
+
+    return df.select(key, value).groupBy(key).applyInPandas(normalize, out_schema)

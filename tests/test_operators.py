@@ -306,3 +306,22 @@ def test_dedup_keep_canonical_end_to_end(spark, docs):
     assert by_id[1].is_canonical
     assert not by_id[2].is_canonical and not by_id[3].is_canonical
     assert by_id[4].is_canonical and by_id[4].component_id == 4
+
+
+def test_scalar_pandas_udf_and_grouped_map(spark):
+    from airflow_scraping_etl_tutorial_spark.operators.udx import (
+        sigmoid_scalar_udf,
+        zscore_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k="a", v=10.0), Row(k="a", v=20.0), Row(k="a", v=30.0),
+         Row(k="b", v=5.0), Row(k="b", v=5.0)]
+    )
+    s = df.select(sigmoid_scalar_udf("v").alias("s")).collect()
+    assert all(0.5 < r.s < 0.51 for r in s)  # sigmoid near 0.5 for small v
+
+    z = {(r.k, r.v): r.zscore for r in zscore_per_group(df, "k", "v").collect()}
+    assert abs(z[("a", 20.0)]) < 1e-12  # the mean maps to 0
+    assert abs(z[("a", 30.0)] - 1.0) < 1e-12  # one stddev above
+    assert z[("b", 5.0)] == 0.0  # zero-variance group -> 0, not NaN
