@@ -729,3 +729,39 @@ def q91_minhash_md5_oracle_checked(spark: SparkSession, sf_dir: str) -> DataFram
     return pre.select(
         "doc_id", *[seeded_md5_min(j).alias(f"mh_{j}") for j in range(4)]
     ).orderBy("doc_id")
+
+
+@query(
+    "q92_stratified_sample_deterministic",
+    oracle="""
+    WITH sampled AS (
+      SELECT * FROM documents
+      WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "sample", "deterministic"),
+)
+def q92_stratified_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~3/16 corpus sample via md5-prefix gating — the
+    cross-engine-reproducible form of sampling (q54's hash-mod form is
+    Spark-only; md5 is identical everywhere). A training pipeline uses
+    exactly this to carve stable held-out slices: membership depends
+    only on the key, never on partitioning, engine, or run."""
+    d = load(spark, sf_dir, "documents")
+    sampled = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2")
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
