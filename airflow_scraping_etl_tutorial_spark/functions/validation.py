@@ -21,10 +21,13 @@ from pyspark.sql import functions as F
 
 
 def _summary(name: str, n_violations: Column) -> list[Column]:
+    # `passed` is projected as INT 0/1 (not BOOLEAN): the driver's
+    # canonicalizer hash-compares values across engines, and int is the
+    # one representation Spark and DuckDB agree on byte-for-byte.
     return [
         F.lit(name).alias("check_name"),
         n_violations.cast("bigint").alias("n_violations"),
-        (n_violations == 0).alias("passed"),
+        (n_violations == 0).cast("int").alias("passed"),
     ]
 
 

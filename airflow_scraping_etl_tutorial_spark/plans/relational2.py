@@ -146,21 +146,61 @@ def q28_percentiles_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q29_approx_aggregates",
-    oracle=None,  # sketch-based: engine-specific estimates, rows-only check
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           1 AS parts_ok,
+           1 AS supps_ok,
+           1 AS median_ok,
+           1 AS p25_ok,
+           1 AS p95_ok
+    FROM lineitem
+    """,
     tags=("agg", "approx", "sketch"),
 )
 def q29_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB forms: approx_count_distinct (HyperLogLog++) and
     approx_percentile (t-digest-style). Estimates are engine-specific,
-    so no cross-engine oracle — the exact twins are q07/q28."""
+    so the oracle is an ERROR-BOUND gate: Spark computes both the
+    sketch estimate and the exact value in one aggregation and projects
+    0/1 within-tolerance flags; DuckDB asserts the exact values and that
+    every flag is 1. A broken sketch (or a tolerance regression) flips a
+    flag and fails the hash compare. Tolerances are 4x the configured
+    rsd for HLL (rsd is a standard deviation, 4 sigma ~ always) and the
+    [p45, p55] / [p20, p30] / [p90, p99] exact-rank bands for the
+    percentile sketch (default accuracy 1e4 => rank error 1e-4).
+    Exact twins: q07 (count distinct), q28 (percentiles)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps_1pct"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
-        F.expr("approx_percentile(l_extendedprice, array(0.25, 0.95))").alias(
-            "approx_quantiles"
-        ),
+    m = li.agg(
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("a_supps"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("a_med"),
+        F.expr("approx_percentile(l_extendedprice, 0.25)").alias("a_p25"),
+        F.expr("approx_percentile(l_extendedprice, 0.95)").alias("a_p95"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("e_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("e_p55"),
+        F.expr("percentile(l_extendedprice, 0.20)").alias("e_p20"),
+        F.expr("percentile(l_extendedprice, 0.30)").alias("e_p30"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("e_p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("e_p99"),
+    )
+
+    def within(est, lo, hi):
+        return (F.col(est).between(F.col(lo), F.col(hi))).cast("int")
+
+    rel_ok = lambda a, e, tol: (  # noqa: E731
+        (F.abs(F.col(a) - F.col(e)) / F.col(e)) <= tol
+    ).cast("int")
+    return m.select(
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        F.col("exact_supps").cast("bigint").alias("exact_supps"),
+        rel_ok("a_parts", "exact_parts", 0.20).alias("parts_ok"),
+        rel_ok("a_supps", "exact_supps", 0.04).alias("supps_ok"),
+        within("a_med", "e_p45", "e_p55").alias("median_ok"),
+        within("a_p25", "e_p20", "e_p30").alias("p25_ok"),
+        within("a_p95", "e_p90", "e_p99").alias("p95_ok"),
     )
 
 
@@ -403,16 +443,26 @@ def q49_in_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q54_sample_deterministic",
-    oracle=None,  # sampling is engine-specific by nature; rows-only check
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    ORDER BY o_orderkey
+    """,
     tags=("sample",),
 )
 def q54_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample — reproducible within Spark (seed fixed),
-    not across engines. The deterministic cross-engine alternative is a
-    hash-mod filter: pmod(xxhash64(key), 10) = 0 (that form is how a
-    100 TB pipeline takes a stable 10% slice)."""
+    """Deterministic ~2/16 sample via md5-prefix gating on the key —
+    membership depends only on the key value, never on partitioning,
+    engine, or run (md5 is bit-identical in Spark and DuckDB, so the
+    sampled set itself sits under the oracle hash gate; the stratified
+    twin is q92). A 100 TB pipeline uses exactly this to carve stable
+    held-out slices; the cheaper engine-internal form is
+    pmod(xxhash64(key), k) = 0 — same plan shape, same scan-time
+    filter, just not reproducible outside Spark."""
     o = load(spark, sf_dir, "orders")
-    stable = o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(10)) == 0)
+    stable = o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    )
     return stable.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
 
 
@@ -625,34 +675,29 @@ def q59_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q87_data_quality_gates",
     oracle="""
-    SELECT 'fk(o_custkey->c_custkey)' AS check_name,
-           (SELECT COUNT(*) FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-             AS n_violations,
-           (SELECT COUNT(*) FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
-             AS passed
-    UNION ALL
-    SELECT 'fk(l_orderkey->o_orderkey)',
-           (SELECT COUNT(*) FROM lineitem l
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
-           (SELECT COUNT(*) FROM lineitem l
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
-    UNION ALL
-    SELECT 'unique(o_orderkey)',
-           (SELECT COALESCE(SUM(n - 1), 0) FROM
-             (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)),
-           (SELECT COALESCE(SUM(n - 1), 0) FROM
-             (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) = 0
-    UNION ALL
-    SELECT 'not_null(o_orderkey,o_custkey)',
-           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL),
-           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL) = 0
-    UNION ALL
-    SELECT 'range(l_discount,[0.0,0.1])',
-           (SELECT COUNT(*) FROM lineitem WHERE l_discount NOT BETWEEN 0.0 AND 0.1),
-           (SELECT COUNT(*) FROM lineitem WHERE l_discount NOT BETWEEN 0.0 AND 0.1) = 0
-    ORDER BY check_name
+    WITH raw(check_name, n_raw) AS (
+      SELECT 'fk(o_custkey->c_custkey)',
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'fk(l_orderkey->o_orderkey)',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             (SELECT COALESCE(SUM(n - 1), 0) FROM
+               (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+      UNION ALL
+      SELECT 'not_null(o_orderkey,o_custkey)',
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL)
+      UNION ALL
+      SELECT 'range(l_discount,[0.0,0.1])',
+             (SELECT COUNT(*) FROM lineitem WHERE l_discount NOT BETWEEN 0.0 AND 0.1)
+    )
+    SELECT check_name,
+           CAST(n_raw AS BIGINT) AS n_violations,
+           CAST(n_raw = 0 AS INTEGER) AS passed
+    FROM raw ORDER BY check_name
     """,
     tags=("validation", "quality"),
 )
