@@ -34,8 +34,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted for the
-    genuinely non-SQL-expressible ops -> driver does rows-only checks)."""
+    """DuckDB-runnable ANSI SQL oracle per query — every catalog entry
+    has one (round 2 eliminated all rows-only entries: LSH/ANN replay
+    the same md5-derived hashes, the iterative clustering is mirrored
+    by a recursive CTE, UDTF/UDAF/mapInPandas ops are re-expressed
+    relationally)."""
     return {
         name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None
     }

@@ -8,11 +8,19 @@ Scale doctrine shared by all of them:
 - everything below is built-in column expressions — shingling, hashing,
   banding and Jaccard all run inside whole-stage codegen, no UDFs.
 
-Hash choice: md5 where the DuckDB oracle must reproduce the value
-bit-for-bit (exact_dedup's content hash — md5 is identical in both
-engines); xxhash64 for MinHash/SimHash internals (engine-only values:
-~8 bytes/hash JVM-side vs 32-hex strings, an order of magnitude cheaper
-at 100 TB, and still fully deterministic across runs/machines).
+Hash choice: every hash is md5-derived so the DuckDB oracle reproduces
+the VALUES bit-for-bit, not just the shapes. The expensive digest runs
+ONCE per shingle/token; the per-seed MinHash family is then derived
+from the digest's two 60-bit halves with rotate-XOR mixing (shift/and/
+or/xor only — wrap-free under ANSI, and expressible in DuckDB with
+HUGEINT shifts). Cost vs the xxhash64-only alternative is ~2x on the
+hashing map stage — bought: the whole LSH pipeline (signatures,
+candidates, verified pairs) sits under the cross-engine hash gate.
+
+The 60-bit words: conv(substr(md5(s), 1, 15), 16, 10) in Spark ==
+CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) in DuckDB (verified
+identical); 15 hex chars keep the value positive in a signed int64 in
+both engines.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.caching import tag_intermediates
 from ..functions.partitioning import fan_out
 from .text import tokens
 
@@ -53,43 +62,88 @@ def word_shingles(text: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+M60 = (1 << 60) - 1
+
+
+def _hex60(md5_col: Column, start: int) -> Column:
+    """60-bit int from 15 hex chars of an md5 hex digest — bit-identical
+    to DuckDB's CAST('0x' || SUBSTR(md5, start, 15) AS BIGINT)."""
+    return F.conv(F.substring(md5_col, start, 15), 16, 10).cast("long")
+
+
+def _rotl60(c: Column, r: int) -> Column:
+    """Rotate a 60-bit value left by r (0 < r < 60). shiftleft wraps on
+    int64 silently (shifts are unchecked even under ANSI); the wrapped
+    high bits are masked away, so the result matches DuckDB's HUGEINT
+    form ((x::HUGEINT << r) & M60) | (x >> (60 - r))."""
+    return (
+        F.shiftleft(c, r).bitwiseAND(F.lit(M60)).bitwiseOR(F.shiftright(c, 60 - r))
+    )
+
+
+def mix_rotations(j: int) -> tuple[int, int]:
+    """Per-seed rotation amounts for the MinHash family — never 0 and
+    pairwise distinct for j < 16 (shared with the oracle SQL builder)."""
+    return (7 * j + 3) % 60, (13 * j + 5) % 60
+
+
+def _mix60(x: Column, v: Column, j: int) -> Column:
+    """Seed-j hash of a shingle from its two md5-half words: rotate each
+    60-bit half by a seed-specific amount and XOR. Cheap bit math per
+    seed — the md5 digest itself is computed once per shingle."""
+    rj, sj = mix_rotations(j)
+    return _rotl60(x, rj).bitwiseXOR(_rotl60(v, sj))
+
+
 def shingle_hashes(text: Column, k: int) -> Column:
-    """Distinct k-word shingles pre-hashed to int64 (array<long>).
-
-    The string shingle is hashed ONCE (xxhash64); every downstream
-    MinHash function then re-hashes the 8-byte long, not the string —
-    profiling at sf0.1 shows ~8x over per-seed string hashing. Hash
-    collisions merely merge two shingles (negligible at 2^-64) — the
+    """Distinct k-word shingles pre-hashed to a 60-bit int64
+    (array<long>), cross-engine reproducible (md5-derived). Hash
+    collisions merely merge two shingles (negligible at 2^-60) — the
     standard shingle-fingerprint trade."""
-    return F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+    return F.transform(word_shingles(text, k), lambda s: _hex60(F.md5(s), 1))
 
 
-def _minhash_cols(hash_col: Column, n_hashes: int) -> list[Column]:
-    """n_hashes MinHash values: min over pre-hashed shingles of
-    xxhash64(seed, h). min over int64 is a valid MinHash; the whole
-    signature is 8*n_hashes bytes per doc."""
+def _minhash_cols(xs: Column, vs: Column, n_hashes: int) -> list[Column]:
+    """n_hashes MinHash values: min over shingles of the seed-j mix of
+    the shingle's two 60-bit md5-half words. min over int64 is a valid
+    MinHash; the whole signature is 8*n_hashes bytes per doc."""
     return [
-        F.array_min(F.transform(hash_col, lambda h: F.xxhash64(F.lit(j), h))).alias(
-            f"mh_{j}"
-        )
+        F.array_min(F.zip_with(xs, vs, lambda x, v: _mix60(x, v, j))).alias(f"mh_{j}")
         for j in range(n_hashes)
     ]
+
+
+def shingle_words(
+    df: DataFrame, shingle_size: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, xs, vs): per-shingle 60-bit word pairs from one md5 pass.
+
+    Two-step projection on purpose: materializing the md5 array as its
+    own column keeps Catalyst from re-inlining the shingle pipeline
+    into each derived expression (CollapseProject skips expensive
+    multiply-referenced expressions) — measured ~17x at sf0.1."""
+    pre = fan_out(df).select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col("text"), shingle_size), lambda s: F.md5(s)
+        ).alias("m"),
+    )
+    return pre.select(
+        F.col(id_col),
+        F.transform(F.col("m"), lambda m: _hex60(m, 1)).alias("xs"),
+        F.transform(F.col("m"), lambda m: _hex60(m, 17)).alias("vs"),
+    )
 
 
 def minhash_signatures(
     df: DataFrame, n_hashes: int = 8, shingle_size: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document MinHash signature (mh_0..mh_{n-1}). Pure map work.
-
-    Two-step projection on purpose: materializing `hs` as its own
-    column keeps Catalyst from re-inlining the shingle pipeline into
-    each of the n_hashes min-expressions (CollapseProject skips
-    expensive multiply-referenced expressions) — measured ~17x at sf0.1.
-    """
-    pre = fan_out(df).select(
-        F.col(id_col), shingle_hashes(F.col("text"), shingle_size).alias("hs")
+    """Per-document MinHash signature (mh_0..mh_{n-1}). Pure map work;
+    every value is reproducible in the DuckDB oracle."""
+    pre = shingle_words(df, shingle_size, id_col)
+    return pre.select(
+        F.col(id_col), *_minhash_cols(F.col("xs"), F.col("vs"), n_hashes)
     )
-    return pre.select(F.col(id_col), *_minhash_cols(F.col("hs"), n_hashes))
 
 
 def minhash_near_duplicates(
@@ -117,15 +171,17 @@ def minhash_near_duplicates(
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
 
-    # Two-step projection (see minhash_signatures) + persist: the LSH
+    # Two-step projection (see shingle_words) + persist: the LSH
     # self-join and the two shingle-set lookups would otherwise recompute
     # shingling+hashing three times. The exact-Jaccard verify runs on the
-    # hashed shingle sets, so raw text never shuffles.
-    pre = fan_out(df).select(
-        F.col(id_col), shingle_hashes(F.col("text"), shingle_size).alias("shingles")
-    )
+    # hashed shingle sets, so raw text never shuffles. The persisted
+    # handle is tagged on the result — callers release it with
+    # functions.caching.release_intermediates once materialized.
+    pre = shingle_words(df, shingle_size, id_col)
     sig = pre.select(
-        F.col(id_col), F.col("shingles"), *_minhash_cols(F.col("shingles"), n_hashes)
+        F.col(id_col),
+        F.col("xs").alias("shingles"),
+        *_minhash_cols(F.col("xs"), F.col("vs"), n_hashes),
     ).persist()
 
     band_keys = F.array(
@@ -158,7 +214,7 @@ def minhash_near_duplicates(
     sh_b = sig.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         cand.join(sh_a, "doc_id_a")
         .join(sh_b, "doc_id_b")
         .select(
@@ -168,21 +224,24 @@ def minhash_near_duplicates(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+    return tag_intermediates(out, sig)
 
 
 def simhash(df: DataFrame, n_bits: int = 60, id_col: str = "doc_id") -> DataFrame:
-    """SimHash fingerprint: xxhash64 per-token hash, bitwise vote,
-    sign -> fingerprint bit. Near-dups have low Hamming distance.
+    """SimHash fingerprint: md5-derived 60-bit per-token hash, bitwise
+    vote, sign -> fingerprint bit. Near-dups have low Hamming distance.
 
-    n_bits=60 (of the 64) keeps the reassembled fingerprint positive in
-    a signed long. The bit votes are n_bits aggregate expressions over
-    the exploded token stream — partial aggregation collapses them
-    map-side, so the shuffle carries n_bits longs per doc, not per token.
+    n_bits=60 keeps the reassembled fingerprint positive in a signed
+    long AND matches the 15-hex-char word DuckDB can reproduce, so the
+    fingerprint VALUES sit under the oracle hash gate. The bit votes are
+    n_bits aggregate expressions over the exploded token stream —
+    partial aggregation collapses them map-side, so the shuffle carries
+    n_bits longs per doc, not per token.
     """
     tok = (
         fan_out(df)
         .select(F.col(id_col), F.explode(tokens(F.col("text"))).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", _hex60(F.md5("tok"), 1))
     )
     votes = [
         F.sum(
@@ -256,7 +315,8 @@ def ngram_jaccard_pairs(
     bound the worst bucket.
     """
     # persist: sizes + BOTH sides of the inverted-index self-join read
-    # the shingle sets — without it the shingling map runs three times
+    # the shingle sets — without it the shingling map runs three times.
+    # Tagged on the result for caller release (functions/caching.py).
     sh = fan_out(df).select(
         F.col(id_col), shingle_hashes(F.col("text"), shingle_size).alias("shingles")
     ).persist()
@@ -277,7 +337,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         common.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
         .select(
@@ -290,3 +350,4 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+    return tag_intermediates(out, sh)

@@ -61,7 +61,19 @@ def scd2_apply(
         combined = new
 
     w = W.partitionBy(key).orderBy("effective_from")
-    fingerprint = F.xxhash64(*[F.col(c) for c in tracked_cols])
+    # Null-disambiguated fingerprint: xxhash64 SKIPS null inputs (the
+    # seed passes through unchanged), so hash(X, NULL) == hash(NULL, X)
+    # and nulling a tracked column leaves the raw hash unchanged — an
+    # update that only moves/nulls values would be dropped as
+    # "unchanged". Casting every column to string and coalescing nulls
+    # to a sentinel keeps each column slot position-distinct.
+    _null_sentinel = "\x00<NULL>\x00"
+    fingerprint = F.xxhash64(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_null_sentinel))
+            for c in tracked_cols
+        ]
+    )
     changed = combined.withColumn(
         "_changed",
         F.lag(fingerprint).over(w).isNull() | (F.lag(fingerprint).over(w) != fingerprint),

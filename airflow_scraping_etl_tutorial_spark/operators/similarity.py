@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.caching import tag_intermediates
 from ..functions.partitioning import fan_out
 
 
@@ -225,11 +226,12 @@ def embedding_near_dup_pairs(
             dot(F.col("a._emb"), F.col("b._emb")) / (F.col("a._norm") * F.col("b._norm"))
         ).alias("cos_raw"),
     )
-    return (
+    out = (
         cand.filter(F.col("cos_raw") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
         .distinct()
     )
+    return tag_intermediates(out, b)
 
 
 def ivf_topk_cosine(
@@ -243,22 +245,21 @@ def ivf_topk_cosine(
     """IVF (inverted-file) ANN: partition the corpus into Voronoi cells
     around centroids; queries search only their n_probe nearest cells.
 
-    Centroids here are a deterministic corpus sample (every (n/m)-th
-    vector by id) rather than trained k-means — the partition/probe
-    machinery is identical and fully reproducible; swapping in trained
-    centroids changes recall, not the plan. Scale: corpus assignment is
-    a broadcast-centroid map stage; the search join touches
-    n_probe/n_centroids of the corpus per query.
+    Centroids here are a deterministic pseudo-random corpus sample (the
+    n_centroids vectors with the smallest md5(id) — a hash-ordered
+    top-k, so md5 shuffles the ids uniformly and TakeOrderedAndProject
+    picks the sample with per-partition partial top-k: no global sort,
+    no count(), no driver action) rather than trained k-means — the
+    partition/probe machinery is identical and fully reproducible
+    (md5 is cross-engine, so the oracle selects the same centroids);
+    swapping in trained centroids changes recall, not the plan.
+    Scale: corpus assignment is a broadcast-centroid map stage; the
+    search join touches n_probe/n_centroids of the corpus per query.
     """
-    w_rank = W.orderBy(F.col(id_col))
-    numbered = corpus.withColumn("_rn", F.row_number().over(w_rank))
-    n_total = corpus.count()
-    step = max(n_total // n_centroids, 1)
     centroids = (
-        numbered.filter((F.col("_rn") % step == 1) & (F.col("_rn") <= step * n_centroids))
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col("embedding").alias("c_emb")
-        )
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col("embedding").alias("c_emb"))
     )
 
     def assign(df: DataFrame, vid: str, emb_alias: str, keep: int) -> DataFrame:

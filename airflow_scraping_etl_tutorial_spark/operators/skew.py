@@ -33,7 +33,19 @@ def salted_join(
     monotonic id — deterministic per run, uniform across tasks. Result
     set is identical to the unsalted join (verified by the oracle-checked
     catalog entry q26).
+
+    Only fact-preserving join types are legal: the dim side is
+    replicated n_salts times, so right/full outer joins would surface
+    every unmatched dim row n_salts times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only {sorted(allowed)}, "
+            f"got how={how!r}: the replicated dim side would duplicate "
+            f"unmatched dim rows n_salts times under right/full outer"
+        )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()), F.lit(n_salts))
     )

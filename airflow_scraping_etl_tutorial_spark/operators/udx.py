@@ -57,32 +57,75 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 32) -> DataFrame:
 
 
 @pandas_udf("double")
-def trimmed_mean_udaf(v: pd.Series) -> float:
-    """Pandas grouped-agg UDAF: 10%-trimmed mean (drop the top and
-    bottom decile, average the rest) — a robust-statistics aggregate
-    Spark has no built-in for."""
+def trimmed_micro_sum_udaf(v: pd.Series) -> float:
+    """Pandas grouped-agg UDAF: exact micro-unit sum of the
+    10%-trimmed set (values inside the inclusive [p10, p90] band —
+    pandas .quantile == DuckDB QUANTILE_CONT, same (n-1)*q linear
+    interpolation).
+
+    Summing in integer micros mirrors the engine's decimal-exact money
+    pattern (functions/compare.py): per-term quantization at 1e-6 of
+    the EXACT binary double (Decimal(x), not Decimal(repr(x)) — the
+    same value DuckDB's CAST(x AS DECIMAL(18,6)) rounds), then an
+    order-independent integer sum that stays exact below 2^53. The
+    trimmed mean derived from it is bit-reproducible cross-engine,
+    which a float .mean() (order- and algorithm-dependent) is not.
+
+    NOTE both UDAFs are deliberately self-contained (imports inside,
+    no module-global references): cloudpickle then ships them by value
+    and the Python worker never re-imports this module (whose
+    decorators need a live SparkContext to parse return types)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     if len(v) < 3:
-        return float(v.mean())
+        kept = v
+    else:
+        lo, hi = v.quantile(0.1), v.quantile(0.9)
+        kept = v[(v >= lo) & (v <= hi)]
+        if not len(kept):
+            kept = v
+    micro = Decimal("1e-6")
+    total = sum(
+        int(Decimal(float(x)).quantize(micro, rounding=ROUND_HALF_UP).scaleb(6))
+        for x in kept
+    )
+    return float(total)
+
+
+@pandas_udf("long")
+def trimmed_count_udaf(v: pd.Series) -> int:
+    """Companion UDAF: how many values the 10%-trim kept."""
+    if len(v) < 3:
+        return int(len(v))
     lo, hi = v.quantile(0.1), v.quantile(0.9)
-    kept = v[(v >= lo) & (v <= hi)]
-    return float(kept.mean()) if len(kept) else float(v.mean())
+    n = int(((v >= lo) & (v <= hi)).sum())
+    return n if n else int(len(v))
 
 
 def robust_price_stats(orders: DataFrame) -> DataFrame:
-    """Per-status robust price summary: the Pandas UDAF and the built-in
-    aggregates run as two groupBys joined on the key — Spark disallows
-    mixing pandas and JVM aggregates in one agg (INVALID_PANDAS_UDF_
-    PLACEMENT), and the join is tiny (one row per group)."""
+    """Per-status robust price summary: the Pandas UDAFs and the
+    built-in aggregates run as two groupBys joined on the key — Spark
+    disallows mixing pandas and JVM aggregates in one agg
+    (INVALID_PANDAS_UDF_PLACEMENT), and the join is tiny (one row per
+    group). The trimmed mean divides the UDAF's exact micro-sum by the
+    kept count — deterministic double ops a SQL oracle can replay."""
     robust = orders.groupBy("o_orderstatus").agg(
-        trimmed_mean_udaf("o_totalprice").alias("trimmed_raw")
+        trimmed_micro_sum_udaf("o_totalprice").alias("micro_sum"),
+        trimmed_count_udaf("o_totalprice").alias("n_kept"),
     )
     plain = orders.groupBy("o_orderstatus").agg(
-        F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_price"),
         F.count(F.lit(1)).alias("n"),
     )
     return robust.join(plain, "o_orderstatus").select(
         "o_orderstatus",
-        F.round("trimmed_raw", 4).alias("trimmed_mean_price"),
+        F.round(
+            (F.col("micro_sum") / F.lit(1000000.0)) / F.col("n_kept"), 4
+        ).alias("trimmed_mean_price"),
         "mean_price",
         "n",
     )

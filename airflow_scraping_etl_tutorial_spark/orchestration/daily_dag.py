@@ -50,11 +50,16 @@ if HAVE_AIRFLOW:
         tags=["twse", "spark"],
     ) as dag:
         # One job = the whole dataflow. Exit code 3 = validation alert:
-        # Airflow's retry applies only to hard failures, mirroring the
-        # reference's branch-to-alert (not-retry) semantics.
+        # skip_on_exit_code routes it to SKIPPED instead of the retry
+        # policy (BashOperator otherwise treats ANY non-zero exit as
+        # failure and would retry the alert twice, re-firing the notify
+        # each attempt). Hard failures (any other non-zero) still hit
+        # retries=2, mirroring the reference's branch-to-alert
+        # (not-retry) semantics.
         daily_load = BashOperator(
             task_id="spark_daily_load",
             bash_command=SPARK_SUBMIT,
+            skip_on_exit_code=3,
         )
 else:
     dag = None

@@ -24,6 +24,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_near_duplicates,
     minhash_signatures,
+    mix_rotations,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -34,6 +35,7 @@ from ..operators.similarity import (
     lsh_bucket_candidates,
 )
 from ..operators.text import (
+    STOPWORDS,
     en_stopword_ratio,
     language_id,
     quality_score,
@@ -42,6 +44,133 @@ from ..operators.text import (
 )
 from ..sources.tables import load
 from .registry import query
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders for the md5-derived 60-bit hash family
+# (operators/dedup.py): the oracle recomputes the SAME MinHash/SimHash
+# values in DuckDB, so LSH candidate sets and verified pairs sit under
+# the driver's value-hash gate. Shared constants come from the operator
+# module (mix_rotations) so the two sides cannot drift apart.
+# ---------------------------------------------------------------------------
+
+_M60 = (1 << 60) - 1
+
+
+def _sql_hex60(md5_expr: str, start: int) -> str:
+    """DuckDB twin of operators.dedup._hex60 (verified bit-identical)."""
+    return f"CAST('0x' || SUBSTR({md5_expr}, {start}, 15) AS BIGINT)"
+
+
+def _sql_rotl60(expr: str, r: int) -> str:
+    """Rotate-left on 60 bits; the shift runs in HUGEINT (DuckDB BIGINT
+    shifts overflow-check, unlike Spark's wrapping shiftleft)."""
+    return (
+        f"CAST((((CAST({expr} AS HUGEINT) << {r}) & {_M60}) | ({expr} >> {60 - r}))"
+        f" AS BIGINT)"
+    )
+
+
+def _sql_mix60(x_expr: str, v_expr: str, j: int) -> str:
+    rj, sj = mix_rotations(j)
+    return f"xor({_sql_rotl60(x_expr, rj)}, {_sql_rotl60(v_expr, sj)})"
+
+
+# Distinct 3-word shingles — the DuckDB twin of dedup.word_shingles(k=3).
+_SQL_SHINGLES3 = """
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+"""
+
+
+def _sql_minhash_sig_cte(n_hashes: int) -> str:
+    """hx CTE body: per-doc 60-bit shingle hashes (xs) + mh_0..mh_{n-1}
+    (docs with zero shingles excluded — their Spark signature is NULL
+    and the null jaccard verify drops their pairs)."""
+    mh = ",\n             ".join(
+        "LIST_MIN(LIST_TRANSFORM(shingles, s -> "
+        + _sql_mix60(_sql_hex60("MD5(s)", 1), _sql_hex60("MD5(s)", 17), j)
+        + f")) AS mh_{j}"
+        for j in range(n_hashes)
+    )
+    return f"""
+      SELECT doc_id,
+             LIST_TRANSFORM(shingles, s -> {_sql_hex60('MD5(s)', 1)}) AS xs,
+             {mh}
+      FROM sh WHERE LEN(shingles) > 0
+"""
+
+
+def _sql_band_condition(n_hashes: int, bands: int, a: str = "a", b: str = "b") -> str:
+    """OR-of-band-tuple-equalities — the oracle form of the LSH bucket
+    join (equal band tuples <=> equal xxhash64 bucket keys, modulo a
+    ~2^-64 collision the exact-Jaccard verify absorbs)."""
+    r = n_hashes // bands
+    bands_sql = []
+    for band in range(bands):
+        eqs = " AND ".join(
+            f"{a}.mh_{band * r + i} = {b}.mh_{band * r + i}" for i in range(r)
+        )
+        bands_sql.append(f"({eqs})")
+    return "(" + " OR ".join(bands_sql) + ")"
+
+
+def _sql_minhash_pairs(jaccard_threshold: float, n_hashes: int = 8, bands: int = 4) -> str:
+    """CTE chain sh -> hx -> cand -> pairs: the full MinHash+LSH
+    near-dup pipeline (band candidates + exact-Jaccard verify) in
+    DuckDB. Callers append their own final SELECT over `pairs`."""
+    return f"""
+    sh AS ({_SQL_SHINGLES3}),
+    hx AS ({_sql_minhash_sig_cte(n_hashes)}),
+    cand AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             LEN(LIST_INTERSECT(a.xs, b.xs)) AS n_common,
+             LEN(a.xs) AS n_a, LEN(b.xs) AS n_b
+      FROM hx a JOIN hx b
+        ON a.doc_id < b.doc_id AND {_sql_band_condition(n_hashes, bands)}
+    ),
+    pairs AS (
+      SELECT doc_id_a, doc_id_b,
+             ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+      FROM cand
+      WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)
+              >= {jaccard_threshold}
+    )
+"""
+
+
+def _sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB twin of operators.similarity.cosine (same multiply/
+    accumulate order => bit-identical doubles, proven by q71/q74)."""
+
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}),"
+            f" i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return f"({_dot(a, b)} / (SQRT({_dot(a, a)}) * SQRT({_dot(b, b)})))"
+
+
+def _sql_srp_bucket(n_planes: int, emb: str = "embedding", dim: int = 64) -> str:
+    """Sign-random-projection bucket key with the SAME md5-derived
+    hyperplane constants the Spark operator embeds as literals
+    (operators/similarity.py::_deterministic_planes)."""
+    from ..operators.similarity import _deterministic_planes
+
+    terms = []
+    for p, plane in enumerate(_deterministic_planes(n_planes, dim)):
+        lits = ", ".join(repr(w) for w in plane)
+        dot = (
+            f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}),"
+            f" i -> CAST({emb}[i] AS DOUBLE) * ([{lits}])[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END) * {1 << p}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -185,16 +314,43 @@ def q64_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _sql_stop_ratio(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ({words})))"
+        f" AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')))"
+    )
+
+
 @query(
     "q65_language_id_heuristic",
-    oracle=None,  # heuristic classifier: engine-only (rows-only check)
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS claimed_lang,
+             {", ".join(f"{_sql_stop_ratio(lang)} AS s_{lang}" for lang in sorted(STOPWORDS))}
+      FROM documents
+    ),
+    best AS (
+      SELECT *, GREATEST({", ".join(f"s_{lang}" for lang in sorted(STOPWORDS))}) AS b
+      FROM scored
+    )
+    SELECT doc_id,
+           CASE WHEN b = 0 THEN 'und'
+                {" ".join(f"WHEN s_{lang} = b THEN '{lang}'" for lang in sorted(STOPWORDS))}
+           END AS predicted_lang,
+           ROUND(b, 6) AS lang_score,
+           claimed_lang
+    FROM best ORDER BY doc_id
+    """,
     tags=("llm", "text", "langid"),
 )
 def q65_language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (n-gram/stopword heuristic): scores
-    each doc against per-language stopword lists, picks the argmax.
-    Engine-only (the scoring profile is an implementation detail, not
-    portable SQL)."""
+    each doc against per-language stopword profiles, argmax with
+    lexicographic tie-break ('und' when no profile matches at all).
+    The oracle recomputes the same ratios from the same profiles
+    (single double division — bit-exact cross-engine), so prediction,
+    score, and tie-breaks are all value-checked."""
     d = load(spark, sf_dir, "documents")
     return language_id(d, text_col="text").orderBy("doc_id")
 
@@ -236,14 +392,25 @@ def q66_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q67_minhash_signatures",
-    oracle=None,  # md5-minhash is deterministic but the 8-col signature SQL
-    # is maintained engine-side; verified structurally by tests + rows check
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES3})
+    SELECT doc_id,
+           {", ".join(
+        "LIST_MIN(LIST_TRANSFORM(shingles, s -> "
+        + _sql_mix60(_sql_hex60("MD5(s)", 1), _sql_hex60("MD5(s)", 17), j)
+        + f")) AS mh_{j}"
+        for j in range(8)
+    )}
+    FROM sh ORDER BY doc_id
+    """,
     tags=("llm", "dedup", "minhash"),
 )
 def q67_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 hashes over 3-word shingles, md5-based,
-    fully deterministic). Scale: shingling + hashing is per-row map work;
-    no shuffle until the band-bucket join in q68."""
+    """MinHash signatures (8 hashes over 3-word shingles, md5-derived
+    60-bit family — operators/dedup.py) — every signature VALUE is
+    reproduced by the DuckDB oracle, so the signatures themselves sit
+    under the hash gate. Scale: shingling + hashing is per-row map
+    work; no shuffle until the band-bucket join in q68."""
     return minhash_signatures(
         load(spark, sf_dir, "documents"), n_hashes=8, shingle_size=3
     ).orderBy("doc_id")
@@ -251,12 +418,19 @@ def q67_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q68_minhash_near_duplicates",
-    oracle=None,  # LSH candidate generation — engine-only (rows-only check)
+    oracle=f"""
+    WITH {_sql_minhash_pairs(0.5)}
+    SELECT doc_id_a, doc_id_b, jaccard FROM pairs
+    ORDER BY doc_id_a, doc_id_b
+    """,
     tags=("llm", "dedup", "minhash", "lsh"),
 )
 def q68_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures -> bucket self-join ->
-    exact Jaccard verify on candidates only.
+    exact Jaccard verify on candidates only. The oracle replays the
+    WHOLE pipeline (same md5-derived hash family, band-tuple-equality
+    candidates, exact-Jaccard verify), so the candidate set AND the
+    verified pairs are value-checked cross-engine.
 
     Scale: the self-join is on band-hash buckets, so cost is
     O(sum(bucket^2)) not O(n^2); band count / rows-per-band tune the
@@ -272,13 +446,29 @@ def q68_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q69_simhash_fingerprints",
-    oracle=None,  # bit-level md5-derived simhash — engine-only
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_hex60('MD5(tok)', 1)} AS h
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+    ),
+    v AS (
+      SELECT doc_id, COUNT(*) AS n_toks,
+             {", ".join(f"SUM(((h >> {b}) & 1) * 2 - 1) AS v_{b}" for b in range(60))}
+      FROM t GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN v_{b} > 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(60))} AS BIGINT) AS simhash,
+           CAST(n_toks AS BIGINT) AS n_tokens
+    FROM v ORDER BY doc_id
+    """,
     tags=("llm", "dedup", "simhash"),
 )
 def q69_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (md5-derived token hashes, weighted
-    bit-vote). Near-dups then cluster by low Hamming distance; the
-    fingerprint column is groupable/joinable at any scale."""
+    """60-bit SimHash per document (md5-derived token hashes, weighted
+    bit-vote) — the fingerprint VALUES are recomputed bit-for-bit by
+    the DuckDB oracle (same 60-bit token words, same vote/sign rule).
+    Near-dups then cluster by low Hamming distance; the fingerprint
+    column is groupable/joinable at any scale."""
     return simhash(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
@@ -364,13 +554,23 @@ def q71_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q72_lsh_bucket_candidates",
-    oracle=None,  # random-hyperplane LSH — engine-only (rows-only check)
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, {_sql_srp_bucket(16)} AS bucket FROM embeddings
+    )
+    SELECT vec_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
+    FROM b ORDER BY vec_id
+    """,
     tags=("llm", "similarity", "ann", "lsh"),
 )
 def q72_lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH: 16 deterministic hyperplanes -> bucket
-    key per vector; same-bucket vectors are ANN candidates. At scale the
-    candidate join replaces the O(n^2) crossJoin with O(sum(bucket^2))."""
+    """Sign-random-projection LSH: 16 deterministic md5-derived
+    hyperplanes -> bucket key per vector; same-bucket vectors are ANN
+    candidates. The oracle recomputes every bucket key from the same
+    hyperplane constants (the sign of an identically-associated double
+    dot product), so the bucketing itself is value-checked. At scale
+    the candidate join replaces the O(n^2) crossJoin with
+    O(sum(bucket^2))."""
     return lsh_bucket_candidates(load(spark, sf_dir, "embeddings"), n_planes=16).orderBy(
         "vec_id"
     )
@@ -449,13 +649,33 @@ def q74_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q75_embedding_near_dup_lsh",
-    oracle=None,  # LSH candidate recall is probabilistic by design
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, {_sql_srp_bucket(6)} AS bucket,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.e[i] * b2.e[i]))
+               / (a.nrm * b2.nrm) AS cos_raw
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, ROUND(cos_raw, 6) AS cosine
+    FROM cand WHERE cos_raw >= 0.3
+    ORDER BY vec_id_a, vec_id_b
+    """,
     tags=("llm", "dedup", "embedding", "lsh"),
 )
 def q75_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at corpus scale: LSH bucket candidates +
     exact cosine threshold (operators/similarity.py::
-    embedding_near_dup_pairs) — the O(sum(bucket^2)) form of q74."""
+    embedding_near_dup_pairs) — the O(sum(bucket^2)) form of q74. The
+    oracle replays the same buckets (md5-derived hyperplanes), the same
+    candidate join, and the same precomputed-norm cosine, so the final
+    pair set is value-checked cross-engine."""
     # 6 planes: the fixture has no true near-identical vectors (max
     # cosine ~0.46), so the plane count is the recall-vs-cost dial — at
     # 3 planes the bucket self-join balloons to ~300M candidate pairs at
@@ -468,13 +688,60 @@ def q75_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q76_ivf_topk_cosine",
-    oracle=None,  # ANN recall engine-specific; exact baseline is q71
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+      ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    corpus_assign AS (
+      SELECT e.vec_id AS neighbor_id, c.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.embedding', 'c.c_emb')} DESC, c.centroid_id
+             ) AS cr
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    corpus_cells AS (SELECT neighbor_id, centroid_id FROM corpus_assign WHERE cr = 1),
+    q_assign AS (
+      SELECT e.vec_id AS query_id, c.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.embedding', 'c.c_emb')} DESC, c.centroid_id
+             ) AS cr
+      FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+    ),
+    q_cells AS (SELECT query_id, centroid_id FROM q_assign WHERE cr <= 4),
+    cand AS (
+      SELECT DISTINCT q.query_id, cc.neighbor_id
+      FROM q_cells q JOIN corpus_cells cc USING (centroid_id)
+      WHERE q.query_id <> cc.neighbor_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_sql_cosine('qe.embedding', 'ne.embedding')} AS cos_raw
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
     tags=("llm", "similarity", "ann", "ivf"),
 )
 def q76_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-k (centroid cells + n_probe search) — the
     second scale path beside LSH (q72); recall measured against the
-    exact baseline q71 in tests."""
+    exact baseline q71 in tests. Centroids are the md5-hash-ordered
+    top-16 of the corpus (deterministic, no global sort/count — see
+    operators/similarity.py::ivf_topk_cosine), so the oracle replays
+    centroid selection, Voronoi assignment, n_probe cell search, and
+    the exact re-rank end to end."""
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk_cosine(
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=16, n_probe=4
@@ -580,13 +847,30 @@ def q78_top_words_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q79_udtf_chunking",
-    oracle=None,  # Python UDTF: engine-side extension point (rows-only)
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words
+      FROM documents WHERE doc_id < 50
+    ),
+    expanded AS (
+      SELECT doc_id, words,
+             UNNEST(RANGE(0, CAST(CEIL(LEN(words) / 32.0) AS BIGINT))) AS c
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(c AS INTEGER) AS chunk_no,
+           ARRAY_TO_STRING(words[c * 32 + 1 : c * 32 + 32], ' ') AS chunk,
+           CAST(LEAST(32, LEN(words) - c * 32) AS INTEGER) AS n_tokens
+    FROM expanded ORDER BY doc_id, chunk_no
+    """,
     tags=("llm", "udtf", "chunking"),
 )
 def q79_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via a Python UDTF (operators/udx.py): long doc
     -> training-window-sized pieces through a LATERAL table function.
-    The sanctioned non-explode row-expansion escape hatch."""
+    The sanctioned non-explode row-expansion escape hatch. The oracle
+    re-expresses the chunking relationally (RANGE unnest + array
+    slicing), so chunk boundaries, text, and counts are value-checked."""
     from ..operators.udx import chunk_documents
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
@@ -595,12 +879,43 @@ def q79_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q85_pandas_udaf_trimmed_mean",
-    oracle=None,  # Pandas UDAF: engine-side extension point (rows-only)
+    oracle="""
+    WITH q AS (
+      SELECT o_orderstatus,
+             QUANTILE_CONT(o_totalprice, 0.1) AS lo,
+             QUANTILE_CONT(o_totalprice, 0.9) AS hi,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 4) AS mean_price,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    k AS (
+      SELECT o.o_orderstatus,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+               AS micro_sum,
+             COUNT(*) AS n_kept
+      FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus
+      WHERE o.o_totalprice BETWEEN q.lo AND q.hi
+      GROUP BY 1
+    )
+    SELECT q.o_orderstatus,
+           ROUND((CAST(k.micro_sum AS DOUBLE) / 1000000.0) / k.n_kept, 4)
+             AS trimmed_mean_price,
+           q.mean_price,
+           CAST(q.n AS BIGINT) AS n
+    FROM q JOIN k USING (o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
     tags=("agg", "udaf", "pandas"),
 )
 def q85_pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust (10%-trimmed) mean via a Pandas grouped-agg UDAF composed
-    with built-in aggregates in one groupBy (operators/udx.py)."""
+    """Robust (10%-trimmed) mean via Pandas grouped-agg UDAFs composed
+    with built-in aggregates (operators/udx.py). The UDAF returns an
+    exact integer micro-sum of the kept set (the engine's decimal-money
+    pattern applied inside Python), so the trimmed mean is
+    order-independent and the DuckDB oracle replays it exactly:
+    QUANTILE_CONT bounds (same interpolation as pandas .quantile),
+    decimal micro-sum, one double division chain."""
     from ..operators.udx import robust_price_stats
 
     return robust_price_stats(load(spark, sf_dir, "orders")).orderBy("o_orderstatus")
@@ -608,23 +923,42 @@ def q85_pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q86_minhash_estimation_accuracy",
-    oracle=None,  # self-validation of an engine-internal estimator
+    oracle=f"""
+    WITH {_sql_minhash_pairs(0.0)},
+    hx16 AS ({_sql_minhash_sig_cte(16)}),
+    scored AS (
+      SELECT pairs.jaccard AS exact_jaccard,
+             ({" + ".join(f"(CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END)" for j in range(16))})
+               / 16.0 AS estimated_jaccard
+      FROM pairs
+      JOIN hx16 a ON a.doc_id = pairs.doc_id_a
+      JOIN hx16 b ON b.doc_id = pairs.doc_id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ABS(estimated_jaccard - exact_jaccard)
+                 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS mae,
+           ROUND(CAST(SUM(CAST(estimated_jaccard - exact_jaccard
+                 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS bias
+    FROM scored
+    """,
     tags=("llm", "dedup", "minhash", "validation"),
 )
 def q86_minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-validation: for every LSH candidate pair, compare the
-    MinHash ESTIMATE of Jaccard (fraction of agreeing signature slots)
-    with the EXACT shingle Jaccard, reporting mean absolute error and
-    the estimator's bias. The operator ships with its own accuracy
-    audit — at 100 TB you monitor this on a sampled slice per run."""
-    from ..operators.dedup import _minhash_cols, shingle_hashes
+    MinHash ESTIMATE of Jaccard (fraction of agreeing slots in an
+    independent 16-hash signature) with the EXACT shingle Jaccard,
+    reporting mean absolute error and the estimator's bias. The
+    operator ships with its own accuracy audit — at 100 TB you monitor
+    this on a sampled slice per run. MAE/bias use the decimal-exact
+    mean pattern (functions/compare.py) so the averages are
+    order-independent; the oracle replays candidates, signatures, and
+    both error aggregates."""
+    from ..operators.dedup import _minhash_cols, shingle_words
 
     n_hashes = 16
     d = load(spark, sf_dir, "documents")
-    pre = d.select(
-        F.col("doc_id"), shingle_hashes(F.col("text"), 3).alias("shingles")
-    )
-    sig = pre.select("doc_id", "shingles", *_minhash_cols(F.col("shingles"), n_hashes))
+    sw = shingle_words(d, 3)
+    sig = sw.select("doc_id", *_minhash_cols(F.col("xs"), F.col("vs"), n_hashes))
     cand = minhash_near_duplicates(d, jaccard_threshold=0.0).select(
         "doc_id_a", "doc_id_b", F.col("jaccard").alias("exact_jaccard")
     )
@@ -648,12 +982,14 @@ def q86_minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
             (agree / F.lit(float(n_hashes))).alias("estimated_jaccard"),
         )
     )
+    diff = F.col("estimated_jaccard") - F.col("exact_jaccard")
+    dec = "decimal(18,6)"
     return scored.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.avg(F.abs(F.col("estimated_jaccard") - F.col("exact_jaccard"))), 4).alias(
-            "mae"
-        ),
-        F.round(F.avg(F.col("estimated_jaccard") - F.col("exact_jaccard")), 4).alias(
+        F.round(
+            F.sum(F.abs(diff).cast(dec)).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mae"),
+        F.round(F.sum(diff.cast(dec)).cast("double") / F.count(F.lit(1)), 4).alias(
             "bias"
         ),
     )
@@ -661,16 +997,43 @@ def q86_minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "q90_neardup_cluster_dedup",
-    oracle=None,  # iterative label propagation: non-SQL-expressible
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_pairs(0.5)},
+    edges AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component_id FROM reach GROUP BY node),
+    marked AS (
+      SELECT doc.doc_id, doc.lang,
+             COALESCE(c.component_id, doc.doc_id) AS component_id
+      FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = component_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_canonical,
+           CAST(SUM(CASE WHEN doc_id <> component_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM marked GROUP BY lang ORDER BY lang
+    """,
     tags=("llm", "dedup", "cluster", "iterative"),
 )
 def q90_neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup dedup pipeline: MinHash+LSH pairs ->
     connected components (iterative label propagation,
     operators/cluster.py) -> one canonical doc per cluster -> corpus
-    accounting. The genuinely-iterative operator the SQL oracle cannot
-    express; invariants (cluster transitivity, canonical uniqueness)
-    are pytest-verified instead."""
+    accounting. The Spark side stays genuinely iterative
+    (driver-controlled loop, localCheckpoint lineage truncation); the
+    oracle reaches the same fixpoint declaratively with a recursive CTE
+    (min-label reachability — fine at oracle scale, unusable at 100 TB
+    where the iterative form with per-round convergence is the point)."""
     from ..operators.cluster import dedup_keep_canonical
 
     docs = load(spark, sf_dir, "documents")
@@ -765,3 +1128,94 @@ def q92_stratified_sample_deterministic(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (operators/multimodal.py) — binary content + typed
+# metadata, processed by Arrow-batched mapInPandas. The decode step is a
+# deterministic sha256-derived fake (the real decoder is an injection
+# point, multimodal.py:strict_decoder), which makes the WHOLE pipeline —
+# schema, batching, UDF signatures, 1->N expansion — oracle-checkable:
+# DuckDB recomputes the sha256 features and byte-slice frames directly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q93_multimodal_featurize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS media_id, 'image' AS kind,
+             CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+             SHA256(text) AS content_sha256
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT media_id, kind, n_bytes, content_sha256,
+           ROUND(CAST(CAST(CAST('0x' || SUBSTR(content_sha256, 1, 2) AS INTEGER)
+                 / 255.0 AS FLOAT) AS DOUBLE), 6) AS f0,
+           ROUND(CAST(CAST(CAST('0x' || SUBSTR(content_sha256, 15, 2) AS INTEGER)
+                 / 255.0 AS FLOAT) AS DOUBLE), 6) AS f7
+    FROM d ORDER BY media_id
+    """,
+    tags=("multimodal", "mapInPandas", "udf"),
+)
+def q93_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/featurize end to end: documents re-typed as a
+    media table (binary content + metadata map), features extracted by
+    the Arrow-batched mapInPandas operator, feature components
+    projected as scalars. The fake decoder derives features from the
+    sha256 digest, so DuckDB replays bytes -> digest -> feature floats
+    (with an explicit float32 round-trip mirroring the ArrayType(FLOAT)
+    schema) and the Python-worker path is value-checked cross-engine."""
+    from ..operators.multimodal import documents_as_media, extract_features
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = extract_features(documents_as_media(docs))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "content_sha256",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 8).cast("double"), 6).alias("f7"),
+    ).orderBy("media_id")
+
+
+@query(
+    "q94_multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             HEX(ENCODE(text)) AS hx,
+             OCTET_LENGTH(ENCODE(text)) AS nb
+      FROM documents WHERE doc_id < 100
+    ),
+    e AS (
+      SELECT media_id, hx, nb,
+             UNNEST(RANGE(0, GREATEST(nb // 160, 1))) AS f
+      FROM m
+    )
+    SELECT media_id,
+           CAST(f AS INTEGER) AS frame_no,
+           SUBSTR(hx, CAST(f * 320 + 1 AS BIGINT), 320) AS frame_hex,
+           CAST(LEAST(160, nb - f * 160) AS INTEGER) AS n_frame_bytes
+    FROM e ORDER BY media_id, frame_no
+    """,
+    tags=("multimodal", "mapInPandas", "expansion"),
+)
+def q94_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: 1 media row -> N frame rows through
+    the mapInPandas row-expansion operator (the multimodal UDTF shape).
+    The fake 'frames' are deterministic byte slices, so the oracle
+    replays the slicing on hex strings (2 hex chars per byte) and the
+    1->N contract — frame boundaries, counts, payload bytes — is
+    value-checked cross-engine."""
+    from ..operators.multimodal import documents_as_media, frame_sample_stub
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    frames = frame_sample_stub(documents_as_media(docs), every_n=10)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.hex("frame").alias("frame_hex"),
+        F.octet_length("frame").alias("n_frame_bytes"),
+    ).orderBy("media_id", "frame_no")

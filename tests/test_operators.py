@@ -325,3 +325,34 @@ def test_scalar_pandas_udf_and_grouped_map(spark):
     assert abs(z[("a", 20.0)]) < 1e-12  # the mean maps to 0
     assert abs(z[("a", 30.0)] - 1.0) < 1e-12  # one stddev above
     assert z[("b", 5.0)] == 0.0  # zero-variance group -> 0, not NaN
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """right/full outer would surface unmatched dim rows n_salts times."""
+    import pytest
+
+    from airflow_scraping_etl_tutorial_spark.operators.skew import salted_join
+
+    fact = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(5).withColumnRenamed("id", "k2")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, "k", "k2", how="full_outer")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, "k", "k2", how="right")
+
+
+def test_release_intermediates_unpersists(spark, docs):
+    """Operators that persist() intermediates tag them on the result;
+    release_intermediates frees the cached blocks after materialization."""
+    from airflow_scraping_etl_tutorial_spark.functions.caching import (
+        release_intermediates,
+    )
+
+    spark.catalog.clearCache()
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    pairs.count()  # materialize (populates the persisted signature cache)
+    sc = spark.sparkContext
+    assert sc._jsc.sc().getPersistentRDDs().size() > 0
+    released = release_intermediates(pairs, blocking=True)
+    assert released >= 1
+    assert sc._jsc.sc().getPersistentRDDs().size() == 0

@@ -61,3 +61,42 @@ def test_scd2_incremental_application(spark):
     assert rows[0].price == 10.0 and not rows[0].is_current
     assert str(rows[0].effective_to) == "2024-02-01"
     assert rows[1].price == 15.0 and rows[1].is_current
+
+
+def test_scd2_null_moves_detected(spark):
+    """Updates that only move/null values across tracked columns must
+    open a new version (regression: a raw xxhash64 fingerprint skips
+    NULL inputs, so (X, NULL) -> (NULL, X) hashed identically and the
+    change was dropped as 'unchanged')."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    updates = spark.createDataFrame(
+        [(1, "X", None, "2024-01-01"), (1, None, "X", "2024-01-02")], schema
+    ).withColumn("ts", F.to_date("ts"))
+    hist = scd2_apply(None, updates, key="k", effective_ts="ts", tracked_cols=("a", "b"))
+    assert hist.count() == 2  # the value-move IS a change
+
+
+def test_scd2_nulling_a_column_detected(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    updates = spark.createDataFrame(
+        [(1, "X", "2024-01-01"), (1, None, "2024-01-02")], schema
+    ).withColumn("ts", F.to_date("ts"))
+    hist = scd2_apply(None, updates, key="k", effective_ts="ts", tracked_cols=("a",))
+    assert hist.count() == 2
