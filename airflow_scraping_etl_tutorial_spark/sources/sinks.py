@@ -10,11 +10,13 @@ Engine forms, all set-oriented:
   MERGE keyed on dt for this append-only daily pattern);
 - CSV append sink (S6);
 - JDBC read/write (S3/S5): implemented against Spark's built-in jdbc
-  format. The container ships no JDBC driver jar or database, so these
-  raise a clear error if used here — the code path is the production
-  one (documented options: partitionColumn parallel reads, batchsize,
-  isolation), gated, and unit-testable only in an environment with a
-  driver on the classpath.
+  format and EXECUTED in tests against Derby (the embedded JDBC engine
+  bundled in Spark's own jars — tests/test_sinks.py::
+  test_jdbc_round_trip_executed runs write_jdbc + read_jdbc incl. the
+  partitioned parallel scan). Pointing at the reference's Postgres
+  (create_table.sql) is a url/driver option change; no Postgres driver
+  jar ships in this container, so that specific target stays untested
+  and raises a clear error.
 """
 
 from __future__ import annotations

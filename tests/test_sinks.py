@@ -55,6 +55,41 @@ def test_jdbc_gated_with_clear_error(spark):
         read_jdbc(spark, "jdbc:postgresql://nowhere/db", "t").collect()
 
 
+def test_jdbc_round_trip_executed(spark, tmp_path):
+    """EXECUTED JDBC round-trip (the reference's real sink shape,
+    dags/insert_data.py:53-61) against Derby — the embedded JDBC engine
+    that ships inside Spark's own jars, so the exact production code
+    path (write_jdbc batched INSERTs, read_jdbc with a partitioned
+    parallel scan) runs with no external server. Swapping the url +
+    driver option to jdbc:postgresql://... is configuration, not code."""
+    from airflow_scraping_etl_tutorial_spark.sources.sinks import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src = load(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_jdbc(src, url, "nation_rt", mode="append", driver=driver)
+
+    back = read_jdbc(spark, url, "nation_rt", driver=driver)
+    assert back.count() == src.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in src.collect()}
+
+    # Partitioned parallel read: num_partitions range queries on the key
+    par = read_jdbc(
+        spark,
+        url,
+        "nation_rt",
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+        driver=driver,
+    )
+    assert par.rdd.getNumPartitions() == 4
+    assert par.count() == src.count()
+
+
 def test_continuous_rollup_incremental_refresh(spark, tmp_path):
     """Hypertable-style rollup: full load, then a single-day refresh
     touches only that day's partition."""
