@@ -102,8 +102,17 @@ def bucket_keys(
 ) -> DataFrame:
     """Sign-random-projection bucket key per vector: an n_planes-bit int
     (sign of the dot product with each deterministic hyperplane).
-    Map-only — no shuffle; the joins downstream are where data moves."""
-    v = as_double(F.col("embedding"))
+    Map-only — no shuffle; the joins downstream are where data moves.
+
+    Two-step projection: the float->double cast is materialized ONCE as
+    its own column instead of being re-inlined into every plane's dot
+    expression (CollapseProject skips expensive multiply-referenced
+    expressions) — n_planes-fold smaller expression tree, measurably
+    faster analysis/codegen and execution."""
+    pre = fan_out(emb).select(
+        F.col(id_col), as_double(F.col("embedding")).alias("_e")
+    )
+    v = F.col("_e")
     bucket = None
     for p, plane in enumerate(_deterministic_planes(n_planes, dim)):
         plane_col = F.array(*[F.lit(w) for w in plane])
@@ -112,7 +121,7 @@ def bucket_keys(
         )
         term = F.shiftleft(bit, p)
         bucket = term if bucket is None else bucket + term
-    return fan_out(emb).select(F.col(id_col), bucket.alias("bucket"))
+    return pre.select(F.col(id_col), bucket.alias("bucket"))
 
 
 def lsh_bucket_candidates(

@@ -142,31 +142,41 @@ def _sql_minhash_pairs(jaccard_threshold: float, n_hashes: int = 8, bands: int =
 """
 
 
+def _sql_dot(x: str, y: str, dim: int = 64) -> str:
+    """Explicit left-associated dot product — same accumulation order
+    as Spark's aggregate() fold (bit-identical doubles), ~10x faster in
+    DuckDB than a LIST_TRANSFORM(RANGE) lambda."""
+    return "(" + " + ".join(
+        f"CAST({x}[{i}] AS DOUBLE) * CAST({y}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ) + ")"
+
+
 def _sql_cosine(a: str, b: str, dim: int = 64) -> str:
     """DuckDB twin of operators.similarity.cosine (same multiply/
     accumulate order => bit-identical doubles, proven by q71/q74)."""
-
-    def _dot(x: str, y: str) -> str:
-        return (
-            f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}),"
-            f" i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
-        )
-
-    return f"({_dot(a, b)} / (SQRT({_dot(a, a)}) * SQRT({_dot(b, b)})))"
+    return (
+        f"({_sql_dot(a, b, dim)} / "
+        f"(SQRT({_sql_dot(a, a, dim)}) * SQRT({_sql_dot(b, b, dim)})))"
+    )
 
 
 def _sql_srp_bucket(n_planes: int, emb: str = "embedding", dim: int = 64) -> str:
     """Sign-random-projection bucket key with the SAME md5-derived
     hyperplane constants the Spark operator embeds as literals
-    (operators/similarity.py::_deterministic_planes)."""
+    (operators/similarity.py::_deterministic_planes).
+
+    The dot product is an EXPLICIT left-associated term chain
+    (e[1]*w1 + e[2]*w2 + ...): SQL's + is left-associative, so the
+    double accumulation order matches Spark's aggregate() fold
+    bit-for-bit, and DuckDB evaluates it ~10x faster than a
+    LIST_TRANSFORM(RANGE) lambda per plane."""
     from ..operators.similarity import _deterministic_planes
 
     terms = []
     for p, plane in enumerate(_deterministic_planes(n_planes, dim)):
-        lits = ", ".join(repr(w) for w in plane)
-        dot = (
-            f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}),"
-            f" i -> CAST({emb}[i] AS DOUBLE) * ([{lits}])[i]))"
+        dot = " + ".join(
+            f"CAST({emb}[{i + 1}] AS DOUBLE) * {w!r}" for i, w in enumerate(plane)
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END) * {1 << p}")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
@@ -516,17 +526,11 @@ def q70_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q71_cosine_topk_bruteforce",
-    oracle="""
+    oracle=f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
-               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-             / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
-                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-                * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
-                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
-             AS cosine
+             {_sql_cosine('q.embedding', 'e.embedding')} AS cosine
       FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
     ),
     ranked AS (
@@ -608,17 +612,11 @@ def q73_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q74_embedding_near_dup_exact",
-    oracle="""
+    oracle=f"""
     WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
     pairs AS (
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
-                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-                * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
-                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-             AS cos_raw
+             {_sql_cosine('a.embedding', 'b.embedding')} AS cos_raw
       FROM sub a JOIN sub b ON a.vec_id < b.vec_id
     )
     SELECT vec_id_a, vec_id_b, ROUND(cos_raw, 6) AS cosine
