@@ -153,6 +153,7 @@ def minhash_near_duplicates(
     shingle_size: int = 3,
     jaccard_threshold: float = 0.5,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -166,6 +167,15 @@ def minhash_near_duplicates(
 
     Probability a pair with true Jaccard s becomes a candidate:
     1 - (1 - s^r)^bands — tune (n_hashes, bands) for the recall target.
+
+    max_bucket_size is the 10^9-doc hot-bucket cap (SCALE.md): buckets
+    above the cap are dropped BEFORE the self-join, bounding the worst
+    bucket's quadratic term. A boilerplate-heavy corpus can put
+    millions of docs in one band bucket; capping trades a little recall
+    (a pair in a dropped bucket is still found through any of its
+    other bands) for a hard ceiling on join cost. The bucket-size
+    aggregation collapses map-side — one extra cheap shuffle of
+    (band, bucket, count) rows.
     """
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
@@ -193,6 +203,14 @@ def minhash_near_duplicates(
     buckets = sig.select(
         F.col(id_col), F.posexplode(band_keys).alias("band", "bucket")
     )
+    if max_bucket_size is not None:
+        ok_buckets = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok_buckets, ["band", "bucket"], "left_semi")
 
     left = buckets.alias("a")
     right = buckets.alias("b")
@@ -304,15 +322,27 @@ def simhash_near_duplicates(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, shingle_size: int = 3, id_col: str = "doc_id"
+    df: DataFrame,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
+    """Exact n-gram Jaccard for every pair sharing >= 1 (indexed)
+    shingle.
 
-    Candidate generation is an inverted-index self-join: explode distinct
-    shingles to (shingle, id), join on shingle, count shared shingles per
-    pair — pairs with zero overlap never materialize. At 100 TB add a
-    document-frequency cap on hot shingles (stop-shingle pruning) to
-    bound the worst bucket.
+    Candidate generation is an inverted-index self-join: explode
+    distinct shingles to (shingle, id), join on shingle — pairs with
+    zero overlap never materialize.
+
+    max_shingle_df is the stop-shingle cap (SCALE.md's 10^9-doc path,
+    now implemented): shingles whose document frequency exceeds the cap
+    are dropped FROM THE INDEX ONLY — a boilerplate shingle appearing
+    in 10^6 docs would otherwise contribute a 10^12-pair bucket. The
+    reported Jaccard stays EXACT (the verify stage intersects the full
+    shingle arrays); pruning only loses pairs whose every shared
+    shingle is hot — by construction pairs of near-identical boilerplate,
+    the pairs a dedup pass cares least about. Cost of the cap: one
+    map-side-combined (shingle, df) aggregation.
     """
     # persist: sizes + BOTH sides of the inverted-index self-join read
     # the shingle sets — without it the shingling map runs three times.
@@ -322,19 +352,56 @@ def ngram_jaccard_pairs(
     ).persist()
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        cold = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        inv = inv.join(cold, "shingle", "left_semi")
     a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_shingle_df is None:
+        # Exact path: count common shingles straight off the index join.
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_id_a"),
+                F.col(f"b.{id_col}").alias("doc_id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_id_a"),
-            F.col(f"b.{id_col}").alias("doc_id_b"),
+    else:
+        # Pruned path: the index yields CANDIDATES only (hot shingles
+        # are missing from it, so its counts would undercount); the
+        # exact intersection comes from the full shingle arrays.
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_id_a"),
+                F.col(f"b.{id_col}").alias("doc_id_b"),
+            )
+            .distinct()
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        arr_a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("_sa"))
+        arr_b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("_sb"))
+        common = (
+            cand.join(arr_a, "doc_id_a")
+            .join(arr_b, "doc_id_b")
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
+            )
+        )
     sa = sizes.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b"))
     out = (

@@ -5,11 +5,14 @@ embeddings fixtures.
 Design rule: everything here must survive 100 TB. That means:
 - no crossJoin over the full corpus (candidate generation via shared
   keys: hashes, LSH bands, shingle buckets);
-- hash functions chosen to be computable in BOTH engines (md5) wherever
-  an oracle compare is wanted; engine-only paths may use xxhash64
-  (cheaper, JVM-side) and get rows-only checks;
-- all hot-path expressions are built-in functions (codegen), zero
-  Python UDFs.
+- every hash is md5-derived (operators/dedup.py doctrine), so EVERY
+  catalog entry here is value-checked against a DuckDB oracle — the
+  generated-SQL builders below replay signatures, buckets, candidates,
+  and verify stages rather than trusting shapes;
+- all hot-path expressions are built-in functions (codegen); Python
+  appears only at the sanctioned Arrow-batched UDx boundaries (q79
+  UDTF, q85 UDAF, q93/q94 mapInPandas) and each of those is ALSO
+  oracle-replayed relationally.
 
 Implementation operators live in operators/ (dedup.py, similarity.py,
 text.py); this module declares the oracle-checked catalog entries.
@@ -1217,3 +1220,62 @@ def q94_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("frame").alias("frame_hex"),
         F.octet_length("frame").alias("n_frame_bytes"),
     ).orderBy("media_id", "frame_no")
+
+
+def _sql_probe_list(n_planes: int) -> str:
+    """Multi-probe bucket list: the query's own bucket plus every
+    Hamming-distance-1 neighbor (one bit flipped per plane)."""
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)])
+    return f"[{probes}]"
+
+
+@query(
+    "q95_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH qb AS (
+      SELECT vec_id AS query_id, {_sql_srp_bucket(8)} AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ),
+    probes AS (
+      SELECT query_id, UNNEST({_sql_probe_list(8)}) AS bucket FROM qb
+    ),
+    cb AS (
+      SELECT vec_id AS neighbor_id, {_sql_srp_bucket(8)} AS bucket FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, cb.neighbor_id
+      FROM probes p JOIN cb USING (bucket)
+      WHERE p.query_id <> cb.neighbor_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_sql_cosine('qe.embedding', 'ne.embedding')} AS cos_raw
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    tags=("llm", "similarity", "ann", "lsh", "multiprobe"),
+)
+def q95_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-k: beside the query's own bucket, every
+    Hamming-distance-1 bucket is probed (a vector near a hyperplane
+    falls on either side with near-equal probability — flipping one bit
+    recovers exactly those borderline misses), raising recall at
+    (n_planes+1)x the candidate lookups with the corpus state
+    UNCHANGED. The oracle replays probe generation (bucket XOR 2^p),
+    the candidate join, and the exact re-rank."""
+    from ..operators.similarity import lsh_topk_cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk_cosine(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, n_planes=8, multi_probe=True
+    ).orderBy("query_id", "rnk")

@@ -356,3 +356,63 @@ def test_release_intermediates_unpersists(spark, docs):
     released = release_intermediates(pairs, blocking=True)
     assert released >= 1
     assert sc._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_ngram_jaccard_stop_shingle_pruning(spark, docs):
+    """Stop-shingle cap drops hot shingles from the INDEX only: the
+    near-dup pair is still found through its cold shared shingles and
+    its jaccard stays exact (verified against the unpruned run)."""
+    exact = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()
+    }
+    # cap = 2: shingles shared by docs 1+2+3 (df=3) leave the index;
+    # the 1-2 and 1-3 pairs survive via rarer shingles of the pair itself
+    pruned = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, max_shingle_df=2).collect()
+    }
+    assert pruned[(1, 2)] == exact[(1, 2)] == 1.0  # jaccard exact, not index-count
+    for pair, j in pruned.items():
+        assert j == exact[pair]
+
+
+def test_ngram_jaccard_pruning_drops_hot_only_pairs(spark):
+    """A pair whose EVERY shared shingle is hot disappears under the
+    cap (the documented recall trade); pairs with any cold shared
+    shingle survive."""
+    boiler = "same legal boilerplate header text always present here"
+    rows = [Row(doc_id=i, text=boiler) for i in range(1, 5)]  # 4 identical docs
+    rows.append(Row(doc_id=9, text="unique body alpha beta gamma delta epsilon zeta"))
+    rows.append(Row(doc_id=10, text="unique body alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(rows)
+    pruned = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in ngram_jaccard_pairs(df, max_shingle_df=3).collect()
+    }
+    assert (9, 10) in pruned          # cold-shingle pair survives
+    assert (1, 2) not in pruned       # boilerplate-only pair pruned (df=4 > 3)
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket_size bounds the band-bucket self-join; pairs in a
+    dropped bucket are only lost if NO other band holds them under the
+    cap. Identical docs collide in every band, so capping below the
+    clique size removes them; distinct near-dups under the cap stay."""
+    boiler = "same legal boilerplate header text always present here today"
+    rows = [Row(doc_id=i, text=boiler) for i in range(1, 6)]  # 5-doc clique
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows.append(Row(doc_id=21, text=base))
+    rows.append(Row(doc_id=22, text=base))
+    df = spark.createDataFrame(rows)
+    uncapped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_near_duplicates(df, jaccard_threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_near_duplicates(
+            df, jaccard_threshold=0.5, max_bucket_size=2
+        ).collect()
+    }
+    assert (21, 22) in capped                     # 2-doc bucket under cap
+    assert (1, 2) in uncapped and (1, 2) not in capped  # 5-doc clique capped
