@@ -312,3 +312,135 @@ def ivf_topk_cosine(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iterations: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical-k-means-style centroid training, fully deterministic:
+
+    - init = the md5-hash-ordered top-k sample (same as ivf_topk_cosine
+      — no RNG state, reproducible anywhere);
+    - each Lloyd iteration assigns every vector to its argmax-cosine
+      centroid (broadcast map stage) and recomputes per-cluster
+      component means with the DECIMAL-exact sum pattern
+      (functions/compare.py), so the trained centroids are
+      order-independent — the same doubles on any partitioning, any
+      engine. Normalization is skipped on purpose: cosine ranking is
+      scale-invariant, so the un-normalized mean ranks identically.
+    - FIXED iteration count (no convergence test): determinism and a
+      bounded plan beat a data-dependent loop for a pipeline stage.
+
+    Scale: per iteration one broadcast of m centroids + one map-side-
+    combined aggregation of m x dim decimal sums. Clusters that win no
+    vectors drop out (standard Lloyd behavior, mirrored by the oracle).
+    Returns (centroid_id, c_emb: array<double>).
+    """
+    cents = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), as_double(F.col("embedding")).alias("c_emb"))
+    )
+    vecs = fan_out(corpus).select(
+        F.col(id_col), as_double(F.col("embedding")).alias("_e")
+    )
+    for _ in range(n_iterations):
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "_e",
+            "centroid_id",
+            cosine(F.col("_e"), F.col("c_emb")).alias("_cos"),
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("centroid_id"))
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("centroid_id", "_e")
+        )
+        # Component means via posexplode + (centroid, position) groupBy
+        # instead of dim wide aggregate expressions: the expression tree
+        # stays O(1) in dim (a 64-agg projection costs seconds of
+        # analysis/codegen per iteration and wouldn't survive dim=4096).
+        # Decimal-exact sums keep the means order-independent; the array
+        # is rebuilt position-sorted, so the result is bit-identical to
+        # the wide form.
+        comp = assigned.select(
+            "centroid_id", F.posexplode("_e").alias("_pos", "_val")
+        )
+        means = comp.groupBy("centroid_id", "_pos").agg(
+            (
+                F.sum(F.col("_val").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_mean")
+        )
+        cents = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_mean"))),
+                lambda s: s["_mean"],
+            ).alias("c_emb")
+        )
+    return cents
+
+
+def ivf_topk_cosine_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iterations: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with TRAINED centroids (kmeans_centroids) instead of the
+    raw hash sample. On clustered corpora training is what makes IVF
+    competitive (cells track the data's modes); on near-uniform data it
+    reshapes cells without a guaranteed recall win — tests assert the
+    recall band vs the exact baseline. The partition/probe/re-rank
+    machinery matches ivf_topk_cosine; only centroid quality changes."""
+    cents = kmeans_centroids(corpus, n_centroids, n_iterations, id_col=id_col)
+
+    def assign(df: DataFrame, vid: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(vid),
+            F.col("centroid_id"),
+            cosine(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+        )
+        w = W.partitionBy(vid).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= keep)
+            .select(vid, "centroid_id")
+        )
+
+    corpus_cells = assign(
+        fan_out(corpus).select(id_col, "embedding"), id_col, 1
+    ).withColumnRenamed(id_col, "neighbor_id")
+    q_cells = assign(
+        queries.select(id_col, "embedding"), id_col, n_probe
+    ).withColumnRenamed(id_col, "query_id")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("c_emb2"))
+    cand = (
+        q_cells.join(corpus_cells, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb2")).alias("cos_raw")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )

@@ -1279,3 +1279,105 @@ def q95_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_cosine(
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_planes=8, multi_probe=True
     ).orderBy("query_id", "rnk")
+
+
+def _sql_kmeans_ivf_oracle(
+    n_centroids: int = 16, n_probe: int = 4, k: int = 5, dim: int = 64
+) -> str:
+    """Unrolled 2-iteration Lloyd + IVF search, DuckDB-side twin of
+    operators.similarity.kmeans_centroids / ivf_topk_cosine_trained.
+    Component means use the decimal-exact pattern, assignments the same
+    left-associated cosine chains — every intermediate double matches
+    Spark bit-for-bit, so even the TRAINED centroids are replayed."""
+    means = ", ".join(
+        f"CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(18,6)))"
+        f" AS DOUBLE) / COUNT(*) AS c_{i}"
+        for i in range(dim)
+    )
+    dot_ec = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * m.c_{i}" for i in range(dim)
+    )
+    norm_e = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    norm_c = " + ".join(f"m.c_{i} * m.c_{i}" for i in range(dim))
+    cos_cols = f"(({dot_ec}) / (SQRT({norm_e}) * SQRT({norm_c})))"
+    return f"""
+    WITH cent0 AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.embedding', 'c.ce')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent0 c
+    ),
+    m1 AS (SELECT cid, {means} FROM a1 WHERE rn = 1 GROUP BY cid),
+    a2 AS (
+      SELECT e.vec_id, e.embedding, m.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos_cols} DESC, m.cid) AS rn
+      FROM embeddings e CROSS JOIN m1 m
+    ),
+    m2 AS (SELECT cid, {means} FROM a2 WHERE rn = 1 GROUP BY cid),
+    corpus_assign AS (
+      SELECT e.vec_id AS neighbor_id, m.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos_cols} DESC, m.cid) AS rn
+      FROM embeddings e CROSS JOIN m2 m
+    ),
+    corpus_cells AS (SELECT neighbor_id, cid FROM corpus_assign WHERE rn = 1),
+    q_assign AS (
+      SELECT e.vec_id AS query_id, m.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos_cols} DESC, m.cid) AS rn
+      FROM embeddings e CROSS JOIN m2 m WHERE e.vec_id < 5
+    ),
+    q_cells AS (SELECT query_id, cid FROM q_assign WHERE rn <= {n_probe}),
+    cand AS (
+      SELECT DISTINCT q.query_id, cc.neighbor_id
+      FROM q_cells q JOIN corpus_cells cc USING (cid)
+      WHERE q.query_id <> cc.neighbor_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_sql_cosine('qe.embedding', 'ne.embedding')} AS cos_raw
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+@query(
+    "q96_ivf_kmeans_trained",
+    oracle=_sql_kmeans_ivf_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "kmeans", "iterative"),
+)
+def q96_ivf_kmeans_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED centroids: 2 deterministic Lloyd iterations
+    (spherical k-means over cosine, decimal-exact component means, md5
+    top-k init) reshape the Voronoi cells vs q76's raw sample (recall
+    vs the exact baseline is asserted in tests; on real clustered
+    corpora training is what makes IVF competitive). The Spark side is the engine's
+    iterative-training pattern (driver loop of broadcast-assign +
+    aggregate); the oracle UNROLLS both iterations in SQL and replays
+    centroid training, assignment, probing, and re-rank — the trained
+    model itself is value-checked cross-engine."""
+    from ..operators.similarity import ivf_topk_cosine_trained
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk_cosine_trained(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=16, n_probe=4,
+        n_iterations=2,
+    ).orderBy("query_id", "rnk")

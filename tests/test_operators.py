@@ -351,11 +351,12 @@ def test_release_intermediates_unpersists(spark, docs):
     spark.catalog.clearCache()
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
     pairs.count()  # materialize (populates the persisted signature cache)
-    sc = spark.sparkContext
-    assert sc._jsc.sc().getPersistentRDDs().size() > 0
+    handles = list(getattr(pairs, "_sg_persisted_intermediates"))
+    assert handles and all(h.storageLevel.useMemory for h in handles)
     released = release_intermediates(pairs, blocking=True)
-    assert released >= 1
-    assert sc._jsc.sc().getPersistentRDDs().size() == 0
+    assert released == len(handles)
+    assert all(not h.storageLevel.useMemory for h in handles)
+    assert release_intermediates(pairs) == 0  # idempotent: tags cleared
 
 
 def test_ngram_jaccard_stop_shingle_pruning(spark, docs):
@@ -416,3 +417,48 @@ def test_minhash_hot_bucket_cap(spark):
     }
     assert (21, 22) in capped                     # 2-doc bucket under cap
     assert (1, 2) in uncapped and (1, 2) not in capped  # 5-doc clique capped
+
+
+def test_ivf_trained_centroids_recall(spark, sf_dir):
+    """Trained (2-iteration Lloyd) centroids keep recall in the same
+    band as the raw hash-sample centroids at the same n_probe (Lloyd
+    reshapes cells — on near-uniform fixtures that can shift individual
+    queries either way; a collapse would signal broken training)."""
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        ivf_topk_cosine,
+        ivf_topk_cosine_trained,
+    )
+    from airflow_scraping_etl_tutorial_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk_cosine(queries, emb, k=5).collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    plain = recall(ivf_topk_cosine(queries, emb, k=5, n_centroids=16, n_probe=4))
+    trained = recall(
+        ivf_topk_cosine_trained(queries, emb, k=5, n_centroids=16, n_probe=4, n_iterations=2)
+    )
+    assert trained >= 0.4, f"trained recall collapsed: {trained}"
+    assert trained >= plain - 0.15, f"trained {trained} far below plain {plain}"
+
+
+def test_kmeans_centroids_deterministic(spark, sf_dir):
+    """Two training runs produce bit-identical centroids (decimal-exact
+    means, fixed init, fixed iteration count — no RNG, no order
+    dependence)."""
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from airflow_scraping_etl_tutorial_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = {r.centroid_id: tuple(r.c_emb) for r in kmeans_centroids(emb, 8, 2).collect()}
+    b = {
+        r.centroid_id: tuple(r.c_emb)
+        for r in kmeans_centroids(emb.repartition(7), 8, 2).collect()
+    }
+    assert a == b

@@ -203,3 +203,37 @@ def test_stream_stream_interval_join(spark, events_dir):
     # must be a true match, and most true matches should have emitted
     assert got_set <= batch_set
     assert len(got_set) >= len(batch_set) * 0.5
+
+
+def test_rocksdb_state_store_hourly_counts(spark, events_dir):
+    """The 100 TB state backend, executed: the same watermarked hourly
+    aggregation runs with the RocksDB state store provider (state
+    off-heap + spillable — at 10^9 keys the HDFS-backed in-memory map
+    OOMs, RocksDB doesn't). Provider is per-query via
+    spark.sql.streaming.stateStore.providerClass; results must match
+    the default-provider/batch answer exactly."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        stream = stream_from_dir(spark, events_dir)
+        got = _run_to_memory(spark, hourly_counts(stream), "hourly_rocks", "complete")
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        got_map = {
+            (str(r.window_start), r.event_type): r.n_events for r in got.collect()
+        }
+        batch_map = {
+            (str(r.w.start), r.event_type): r.n_events for r in batch.collect()
+        }
+        assert got_map == batch_map
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
