@@ -98,3 +98,57 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_score",
         *([F.col("lang").alias("claimed_lang")] if "lang" in df.columns else []),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS scheme — the rolling-hash fingerprint family): hash every
+    k-char gram with the cross-engine 60-bit md5-derived hash, then
+    keep the MINIMUM hash of each window of `window` consecutive gram
+    hashes. Guarantee: any shared substring of length >= k + window - 1
+    contributes at least one shared fingerprint, while storage shrinks
+    ~1/window vs all grams — overlap/plagiarism detection joins docs on
+    the exploded fingerprints instead of comparing texts.
+
+    Pure codegen expressions — per-row map work, no shuffle, no UDF.
+    The md5-per-gram stands in for a true O(1)-update rolling hash
+    (Spark has no stateful scan inside a row expression); the n*k
+    character touches stay JVM-side, and the VALUES are what matter:
+    DuckDB replays them for the oracle gate.
+
+    Two-step projection on purpose: the gram-hash array materializes as
+    its own column so the window-min transform doesn't re-inline (and
+    re-md5) it per window (HOF lambdas don't CSE — see NOTES.md).
+
+    Returns (id, fingerprint: long) — one row per distinct fingerprint.
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    n_grams = n - k + 1
+    gram_hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(text, i, k)), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    pre = df.select(F.col(id_col), gram_hashes.alias("_gh"))
+    n_windows = F.size("_gh") - window + 1
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(F.col("_gh"), i, window)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return pre.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )

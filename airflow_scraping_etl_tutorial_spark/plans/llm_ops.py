@@ -1381,3 +1381,42 @@ def q96_ivf_kmeans_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=16, n_probe=4,
         n_iterations=2,
     ).orderBy("query_id", "rnk")
+
+
+@query(
+    "q97_winnowing_fingerprints",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               RANGE(1, GREATEST(LENGTH(text) - 8 + 1, 0) + 1),
+               i -> {_sql_hex60("MD5(SUBSTR(text, CAST(i AS INTEGER), 8))", 1)}
+             ) AS gh
+      FROM documents WHERE doc_id < 300
+    ),
+    w AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(gh) - 4 + 1, 0) + 1),
+               i -> LIST_MIN(gh[i:i+3])
+             )) AS fps
+      FROM g
+    )
+    SELECT doc_id, UNNEST(fps) AS fingerprint
+    FROM w ORDER BY doc_id, fingerprint
+    """,
+    tags=("llm", "text", "fingerprint", "rolling-hash"),
+)
+def q97_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (k=8-char
+    grams, window=4 minima — the MOSS scheme): the compact fingerprint
+    set that detects any shared substring of length >= 11 across the
+    corpus by an equi-join on fingerprints. The oracle replays gram
+    hashing and window minima value-for-value (operators/text.py::
+    winnowing_fingerprints)."""
+    from ..operators.text import winnowing_fingerprints
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnowing_fingerprints(docs, k=8, window=4).orderBy(
+        "doc_id", "fingerprint"
+    )

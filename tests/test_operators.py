@@ -462,3 +462,28 @@ def test_kmeans_centroids_deterministic(spark, sf_dir):
         for r in kmeans_centroids(emb.repartition(7), 8, 2).collect()
     }
     assert a == b
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; disjoint texts
+    share none."""
+    from airflow_scraping_etl_tutorial_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "identical plagiarized passage of text"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha bravo {shared} charlie delta"),
+            Row(doc_id=2, text=f"echo foxtrot golf {shared} hotel"),
+            Row(doc_id=3, text="entirely unrelated content with zero overlap"),
+        ]
+    )
+    fps = winnowing_fingerprints(df, k=8, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]          # shared passage detected
+    assert not (by_doc[1] & by_doc[3])    # no false overlap
+    assert not (by_doc[2] & by_doc[3])
