@@ -1420,3 +1420,74 @@ def q97_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, k=8, window=4).orderBy(
         "doc_id", "fingerprint"
     )
+
+
+@query(
+    "q98_embedding_int8_quantization",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE))))
+               / 127.0 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT e.vec_id, e.embedding, s.scale,
+             LIST_TRANSFORM(e.embedding,
+               x -> CAST(GREATEST(LEAST(ROUND(CAST(x AS DOUBLE) / s.scale), 127),
+                                  -127) AS BIGINT)) AS qv
+      FROM embeddings e JOIN s USING (vec_id)
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           CAST(LIST_SUM(qv) AS BIGINT) AS q_sum,
+           CAST(LEN(LIST_FILTER(qv, v -> ABS(v) = 127)) AS INTEGER) AS n_saturated,
+           ROUND(SQRT({" + ".join(
+               f"(CAST(embedding[{i + 1}] AS DOUBLE) - qv[{i + 1}] * scale)"
+               f" * (CAST(embedding[{i + 1}] AS DOUBLE) - qv[{i + 1}] * scale)"
+               for i in range(64))}) / 8.0, 6) AS rms_error
+    FROM q ORDER BY vec_id
+    """,
+    tags=("llm", "embedding", "quantization"),
+)
+def q98_embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 embedding quantization — the storage/bandwidth move for a
+    100 TB embedding store (4x smaller vectors, int8 dot kernels):
+    per-vector symmetric scale = max|x|/127, quantize-clamp, and a
+    reconstruction audit (RMS error, saturation count). All codegen
+    HOF expressions; the oracle replays scale, every quantized value,
+    and the error audit. At scale this runs as pure map work before
+    the parquet write; search (q71/q72/q76) then runs on the int8
+    column with dequantized re-rank."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pre = e.select("vec_id", "embedding", dbl.alias("_e"))
+    scale = (
+        F.array_max(F.transform(F.col("_e"), lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    pre2 = pre.select("vec_id", "embedding", "_e", scale.alias("scale"))
+    qv = F.transform(
+        F.col("_e"),
+        lambda x: F.greatest(
+            F.least(F.round(x / F.col("scale"), 0), F.lit(127.0)), F.lit(-127.0)
+        ).cast("long"),
+    )
+    pre3 = pre2.select("vec_id", "_e", "scale", qv.alias("_q"))
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("_e"),
+            F.col("_q"),
+            lambda x, q: (x - q * F.col("scale")) * (x - q * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return pre3.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.size(F.filter(F.col("_q"), lambda v: F.abs(v) == 127)).alias("n_saturated"),
+        F.round(F.sqrt(sq_err) / F.lit(8.0), 6).alias("rms_error"),
+    ).orderBy("vec_id")

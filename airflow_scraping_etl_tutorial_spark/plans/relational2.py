@@ -799,3 +799,61 @@ def q89_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", dist.alias("edit_distance"))
         .orderBy("key_a", "key_b")
     )
+
+
+@query(
+    "q99_tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(ROUND(SUM(CAST((l.l_extendedprice * (1 - l.l_discount))
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1997-01-01'
+    GROUP BY 1
+    ORDER BY revenue DESC, nation
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q99_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-way star join where
+    the customer-nation must equal the supplier-nation — the classic
+    join-ordering stress test.
+
+    Scale: region/nation/supplier/customer all broadcast (filtered
+    region first, so the broadcast chain prunes early); lineitem joins
+    orders sort-merge on the only fact-fact edge; the
+    c_nationkey = s_nationkey equality rides the existing join keys as
+    a post-join filter — no extra shuffle. Money aggregate uses the
+    decimal-exact pattern (functions/compare.py)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
