@@ -21,6 +21,7 @@ text.py); this module declares the oracle-checked catalog entries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -1491,3 +1492,148 @@ def q98_embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFra
         F.size(F.filter(F.col("_q"), lambda v: F.abs(v) == 127)).alias("n_saturated"),
         F.round(F.sqrt(sq_err) / F.lit(8.0), 6).alias("rms_error"),
     ).orderBy("vec_id")
+
+
+@query(
+    "q100_pii_redaction",
+    oracle=r"""
+    WITH scrub AS (
+      SELECT doc_id,
+             LEN(REGEXP_EXTRACT_ALL(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             LEN(REGEXP_EXTRACT_ALL(text, '\d{6,}')) AS n_long_numbers,
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{6,}', '<NUM>', 'g') AS text_clean
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_emails AS INTEGER) AS n_emails,
+           CAST(n_long_numbers AS INTEGER) AS n_long_numbers,
+           MD5(text_clean) AS clean_md5,
+           LENGTH(text_clean) AS n_chars_clean
+    FROM scrub ORDER BY doc_id
+    """,
+    tags=("llm", "text", "pii", "redaction"),
+)
+def q100_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (training-data hygiene): regex redaction of
+    email addresses and long digit runs to typed placeholders, with
+    per-doc match accounting. Pure codegen regexp expressions — at
+    100 TB this is map-only scan work fused with the quality filters
+    (q77). The oracle replays matches, counts, and the full redacted
+    text (compared by md5 so raw text never reaches the compare)."""
+    d = load(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    longnum = r"\d{6,}"
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), longnum, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(longnum))).alias("n_long_numbers"),
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).alias("n_chars_clean"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q101_corpus_mixture_sampling",
+    oracle="""
+    WITH gated AS (
+      SELECT lang, doc_id, n_chars,
+             CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+               AS gate,
+             CASE lang WHEN 'en' THEN 256 WHEN 'de' THEN 128
+                       WHEN 'fr' THEN 64 ELSE 26 END AS threshold
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM gated WHERE gate < threshold
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "sample", "mixture", "deterministic"),
+)
+def q101_corpus_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus MIXTURE: per-language acceptance rates
+    (en 100%, de 50%, fr 25%, others ~10%) applied via an md5 gate on
+    the document key — the data-mixture op every pretraining corpus
+    build runs (upweight/downweight sources), with membership a pure
+    function of the key: reproducible across engines, partitionings,
+    and runs, and stable under incremental corpus growth (old docs
+    never flip in or out). The oracle replays gates and thresholds."""
+    d = load(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    threshold = (
+        F.when(F.col("lang") == "en", 256)
+        .when(F.col("lang") == "de", 128)
+        .when(F.col("lang") == "fr", 64)
+        .otherwise(26)
+    )
+    return (
+        d.filter(gate < threshold)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q102_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS seq_id,
+           CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS seq_offset
+    FROM packed ORDER BY doc_id
+    """,
+    tags=("llm", "packing", "window"),
+)
+def q102_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign each document a (shard, seq_id,
+    offset) slot in a stream of fixed 2048-token training sequences —
+    the packing step that turns a filtered corpus into dense training
+    batches. Packing is SHARD-LOCAL by construction (shard = key mod 8
+    here; any shard count works): the running-total window partitions
+    by shard, so at 100 TB there is no global cumulative sum — each
+    shard packs independently on its own task, and adding shards scales
+    the packer linearly. The oracle replays the identical
+    integer-arithmetic window."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("bigint").alias("shard"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / 2048).cast("bigint").alias("seq_id"),
+        (start % 2048).cast("bigint").alias("seq_offset"),
+    ).orderBy("doc_id")
