@@ -57,3 +57,30 @@ def test_semi_and_anti_join_operators(spark):
     anti = final_plan(spark, "q11_join_anti")
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_ivf_centroids_no_global_sort(spark):
+    """q76's centroid selection must stay a hash-ordered top-k
+    (TakeOrderedAndProject), never a global Sort + row_number (the
+    round-1 scale-killer this guards against)."""
+    plan = final_plan(spark, "q76_ivf_topk_cosine")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_star_broadcasts(spark):
+    """q99: every dimension side of the 6-way star broadcasts; the
+    lineitem scan prunes to its 4 needed columns."""
+    plan = final_plan(spark, "q99_tpch_q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "l_extendedprice" in plan and "l_comment" not in plan
+
+
+def test_sequence_packing_window_is_sharded(spark):
+    """q102's running total must partition by shard — an empty window
+    partition spec would serialize the whole corpus on one task."""
+    df = SPECS["q102_sequence_packing"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the Window's partition expression must mention the shard column
+    window_section = plan[plan.index("Window") :][:400]
+    assert "shard" in window_section
