@@ -37,9 +37,46 @@ EVENT_SCHEMA = T.StructType(
 
 def stream_from_dir(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over a directory of parquet event files (the
-    test/replay path; production swaps in Kafka with the same schema —
-    every operator below is source-agnostic)."""
+    test/replay path; production swaps in stream_from_kafka with the
+    same schema — every operator below is source-agnostic)."""
     return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def stream_from_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka source producing the SAME event schema as stream_from_dir,
+    so every downstream operator (windows, dedup, stateful, joins) is
+    source-agnostic: value is JSON-decoded against EVENT_SCHEMA, the
+    event time comes from the payload (not Kafka's ingest timestamp —
+    watermarks must track EVENT time or late-data semantics silently
+    change).
+
+    maxOffsetsPerTrigger is the 100 TB backpressure knob: it bounds a
+    micro-batch after downtime so catch-up doesn't OOM the state store.
+
+    GATED: the spark-sql-kafka connector jar does not ship in this
+    container, so calling this here raises Spark's missing-data-source
+    error (tests assert the gate); on a cluster, submit with
+    --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<version>.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    raw = reader.load()
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e")
+    )
+    return parsed.select("e.*")
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -237,3 +237,19 @@ def test_rocksdb_state_store_hourly_counts(spark, events_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_kafka_source_gated_with_clear_error(spark):
+    """The Kafka source is the documented production path; without the
+    connector jar it must fail fast with Spark's missing-data-source
+    error, not something cryptic downstream."""
+    import pytest as _pytest
+
+    from airflow_scraping_etl_tutorial_spark.streaming.events import (
+        stream_from_kafka,
+    )
+
+    with _pytest.raises(Exception, match="(?i)kafka|data.?source|provider"):
+        stream_from_kafka(spark, "localhost:9092", "events").writeStream.format(
+            "noop"
+        ).start()
