@@ -60,8 +60,38 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Queries with a fully-green row in CORRECTNESS_r01.json. The round-1
+# driver evaluated exactly the first 50 entries of ``queries()`` in dict
+# order before its budget cut off, leaving 42 catalog entries with no
+# correctness row at all. ``all_queries()`` therefore yields entries in
+# driver-priority tiers (registration order within each tier), so a
+# budget-capped driver run spends its rows where they add signal:
+#   tier 0 — no driver row yet AND explicitly flagged by VERDICT.md
+#            (round-1 reds q29/q54/q87, array/JSON/math q35-q42, TWSE
+#            q50-q53, LLM-data q60-q92, streaming q80-q84, multimodal
+#            q93);
+#   tier 1 — round-2 additions with no driver row (q94-q102);
+#   tier 2 — already-attested round-1 greens.
+_ROUND1_GREEN = frozenset(
+    f"q{i:02d}" for i in [*range(1, 29), *range(30, 35), *range(43, 50), *range(55, 60), 88, 89]
+)
+_ROUND2_EXTRA = frozenset(f"q{i}" for i in [*range(94, 99), 99, *range(100, 103)])
+
+
+def _priority(name: str) -> int:
+    key = name.split("_", 1)[0]
+    if key in _ROUND1_GREEN:
+        return 2
+    if key in _ROUND2_EXTRA:
+        return 1
+    return 0
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    """Import all catalog modules and return the full registry."""
+    """Import all catalog modules and return the full registry,
+    driver-priority ordered (see _ROUND1_GREEN)."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return dict(_REGISTRY)
+    order = {n: i for i, n in enumerate(_REGISTRY)}
+    names = sorted(_REGISTRY, key=lambda n: (_priority(n), order[n]))
+    return {n: _REGISTRY[n] for n in names}
