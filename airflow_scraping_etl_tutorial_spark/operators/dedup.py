@@ -418,3 +418,46 @@ def ngram_jaccard_pairs(
         )
     )
     return tag_intermediates(out, sh)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least one k-word shingle with any document of a held-out eval set
+    (the train/test-overlap scrub every pretraining corpus build runs
+    before training).
+
+    Shape: explode each side to 60-bit md5 shingle hashes, equi-join on
+    the hash, aggregate hits per corpus document. The eval side is
+    reduced to ONE row per distinct shingle hash (with the minimum
+    eval-doc id as witness) and is broadcast: benchmark suites are MBs
+    while the corpus is the 100 TB side, so contamination checking is a
+    map-side broadcast-hash-join over the corpus scan — the corpus
+    itself never shuffles, and the shuffled/broadcast payload is 8-byte
+    hashes, never text.
+
+    Returns (id_col, n_shared_ngrams, min_eval_doc) for contaminated
+    corpus docs only.
+    """
+
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), k)).alias("_s"),
+        ).select(F.col(id_col), _hex60(F.md5("_s"), 1).alias("_h"))
+
+    eval_hashes = (
+        shingle_hashes(eval_df)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias("_min_eval_doc"))
+    )
+    hits = shingle_hashes(corpus).join(F.broadcast(eval_hashes), "_h")
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("_h").alias("n_shared_ngrams"),
+        F.min("_min_eval_doc").alias("min_eval_doc"),
+    )

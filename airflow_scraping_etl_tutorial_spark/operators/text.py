@@ -152,3 +152,38 @@ def winnowing_fingerprints(
     return pre.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
+
+
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition measures: the fraction
+    of duplicate words and duplicate word-bigrams (1 - distinct/total).
+    Highly repetitive documents (boilerplate, keyword stuffing, decode
+    loops) are filtered before training.
+
+    Returns named column expressions; all built-in array HOFs, so at
+    100 TB this is map-only scan work with no shuffle."""
+    words = tokens(text)
+    n_words = F.size(words)
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams)
+    dup_word_frac = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n_words, 6
+    )
+    dup_bigram_frac = F.when(
+        n_bigrams > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_bigrams,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_words": n_words.cast("int"),
+        "dup_word_frac": dup_word_frac,
+        "dup_bigram_frac": dup_bigram_frac,
+    }

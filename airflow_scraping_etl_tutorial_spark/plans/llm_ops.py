@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    decontaminate,
     exact_dedup,
     minhash_near_duplicates,
     minhash_signatures,
@@ -43,6 +44,7 @@ from ..operators.text import (
     en_stopword_ratio,
     language_id,
     quality_score,
+    repetition_stats,
     token_count,
     tokens,
 )
@@ -1637,3 +1639,150 @@ def q102_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / 2048).cast("bigint").alias("seq_id"),
         (start % 2048).cast("bigint").alias("seq_offset"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q103_decontamination_ngram_overlap",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES3}),
+    ex AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+               AS gate,
+             UNNEST(shingles) AS s
+      FROM sh
+    ),
+    h AS (SELECT doc_id, gate, {_sql_hex60('MD5(s)', 1)} AS h FROM ex),
+    ev AS (SELECT h, MIN(doc_id) AS min_eval FROM h WHERE gate < 16 GROUP BY h),
+    hits AS (
+      SELECT c.doc_id, c.h, ev.min_eval
+      FROM h c JOIN ev ON c.h = ev.h
+      WHERE c.gate >= 16
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shared_ngrams,
+           CAST(MIN(min_eval) AS BIGINT) AS min_eval_doc
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def q103_decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 3-word
+    shingle with a held-out eval set (deterministic md5 gate on doc_id
+    marks ~6% of docs as 'eval'). The eval side collapses to one row
+    per distinct 60-bit shingle hash and is BROADCAST — benchmark
+    suites are MBs while the corpus is the 100 TB side, so the check is
+    a map-side hash join over the corpus scan: the corpus never
+    shuffles, only 8-byte hashes move. The oracle replays the gates,
+    the shingle hashes, and the per-doc hit aggregates."""
+    d = load(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    eval_docs = d.filter(gate < 16)
+    corpus = d.filter(gate >= 16)
+    return (
+        decontaminate(corpus, eval_docs, k=3)
+        .select(
+            "doc_id",
+            F.col("n_shared_ngrams").cast("bigint").alias("n_shared_ngrams"),
+            F.col("min_eval_doc").cast("bigint").alias("min_eval_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q104_repetition_filter",
+    oracle="""
+    WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+    g AS (
+      SELECT doc_id, words, LEN(words) AS n_words,
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 0) + 1),
+                            i -> ARRAY_TO_STRING(words[i:i+1], ' ')) AS bigrams
+      FROM w
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(n_words AS INTEGER) AS n_words,
+             ROUND(1.0 - CAST(LEN(LIST_DISTINCT(words)) AS DOUBLE) / n_words, 6)
+               AS dup_word_frac,
+             CASE WHEN LEN(bigrams) > 0
+                  THEN ROUND(1.0 - CAST(LEN(LIST_DISTINCT(bigrams)) AS DOUBLE)
+                             / LEN(bigrams), 6)
+                  ELSE 0.0 END AS dup_bigram_frac
+      FROM g
+    )
+    SELECT doc_id, n_words, dup_word_frac, dup_bigram_frac,
+           CAST(dup_bigram_frac > 0.2 OR dup_word_frac > 0.3 AS INTEGER)
+             AS is_repetitive
+    FROM m ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "repetition"),
+)
+def q104_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter: duplicate-word
+    and duplicate-bigram fractions per document, with the filter flag
+    (boilerplate / keyword-stuffed / decode-loop docs score high and
+    are dropped before training). All array HOFs — map-only scan work
+    at 100 TB, fused with the other quality passes. The repetition
+    thresholds compare the ROUNDED fractions so both engines decide
+    the flag on identical doubles."""
+    d = load(spark, sf_dir, "documents")
+    stats = repetition_stats(F.col("text"))
+    m = d.select("doc_id", *(expr.alias(k) for k, expr in stats.items()))
+    return m.select(
+        "*",
+        ((F.col("dup_bigram_frac") > 0.2) | (F.col("dup_word_frac") > 0.3))
+        .cast("int")
+        .alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q105_train_val_test_split",
+    oracle="""
+    WITH gated AS (
+      SELECT lang, doc_id, n_chars,
+             CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+                  AS INTEGER) AS gate
+      FROM documents
+    )
+    SELECT CASE WHEN gate < 230 THEN 'train'
+                WHEN gate < 243 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM gated GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "sample", "split", "deterministic"),
+)
+def q105_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~90/5/5) as a pure function
+    of the document key: an md5 gate over doc_id||':split' (salted so
+    it is independent of the q101 mixture gate). Membership is stable
+    across engines, runs, partitionings, and incremental corpus growth
+    — no doc ever flips split, which is the property that prevents
+    silent eval contamination. Map-only assignment at 100 TB; the
+    summary aggregates per (split, lang)."""
+    d = load(spark, sf_dir, "documents")
+    gate = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    split = (
+        F.when(gate < 230, "train").when(gate < 243, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "doc_id", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("split", "lang")
+    )
