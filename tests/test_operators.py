@@ -487,3 +487,63 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert by_doc[1] & by_doc[2]          # shared passage detected
     assert not (by_doc[1] & by_doc[3])    # no false overlap
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from airflow_scraping_etl_tutorial_spark.operators.dedup import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [Row(doc_id=900, text="the quick brown fox jumps high")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the shingle "quick brown fox" (and "the quick brown")
+            Row(doc_id=1, text="see the quick brown fox run"),
+            # no 3-gram overlap
+            Row(doc_id=2, text="completely different words entirely here now"),
+            # too short for a 3-shingle
+            Row(doc_id=3, text="quick brown"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, eval_df, k=3).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_shared_ngrams"] == 2
+    assert out[1]["min_eval_doc"] == 900
+
+
+def test_repetition_stats_extremes(spark):
+    from airflow_scraping_etl_tutorial_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam"),
+            Row(doc_id=2, text="all words here are unique"),
+        ]
+    )
+    stats = repetition_stats(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *(e.alias(k) for k, e in stats.items())).collect()
+    }
+    assert rows[1]["dup_word_frac"] == pytest.approx(0.8)  # 1 distinct of 5
+    assert rows[1]["dup_bigram_frac"] == pytest.approx(0.75)  # 1 distinct of 4
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["dup_bigram_frac"] == 0.0
+
+
+def test_train_val_test_split_is_total_and_stable(spark, sf_dir):
+    from airflow_scraping_etl_tutorial_spark.plans import all_queries
+
+    fn = all_queries()["q105_train_val_test_split"].fn
+    a = {(r["split"], r["lang"]): r["n_docs"] for r in fn(spark, sf_dir).collect()}
+    b = {(r["split"], r["lang"]): r["n_docs"] for r in fn(spark, sf_dir).collect()}
+    assert a == b  # deterministic across runs
+    n_total = sum(a.values())
+    assert n_total == 500  # every document assigned exactly one split
+    by_split = {}
+    for (split, _lang), n in a.items():
+        by_split[split] = by_split.get(split, 0) + n
+    # ~90/5/5 with binomial slack at n=500
+    assert by_split["train"] / n_total > 0.85
+    assert 0.01 < by_split["val"] / n_total < 0.10
+    assert 0.01 < by_split["test"] / n_total < 0.10
