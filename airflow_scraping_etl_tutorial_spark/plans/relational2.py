@@ -857,3 +857,61 @@ def q99_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("nation"))
     )
+
+
+@query(
+    "q106_tpch_q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_totalprice,
+           SUM(l.l_quantity) AS order_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "tpch", "topk"),
+)
+def q106_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): orders whose lineitems
+    sum past a quantity threshold, with customer detail, top-100 by
+    order value.
+
+    Scale: the HAVING pre-aggregation reduces lineitem map-side
+    (partial sums) to one row per order BEFORE any join, and the
+    surviving key set (~0.1% of orders) is broadcast — first into the
+    orders scan, then (orders now qualified and tiny) into the customer
+    scan — so neither fact table shuffles and no second lineitem scan
+    exists (the classic IN-subquery form re-reads lineitem; the
+    pre-aggregated order_qty IS the outer sum because the group key
+    contains o_orderkey). Top-100 plans as TakeOrderedAndProject.
+    l_quantity is integral-valued, so the double sum is exact and
+    order-independent (no decimal detour needed)."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > 300)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    qualified = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    return (
+        c.join(F.broadcast(qualified), qualified.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "order_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
