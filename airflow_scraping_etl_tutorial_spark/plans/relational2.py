@@ -915,3 +915,154 @@ def q106_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> Dat
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "q107_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    joined AS (
+      SELECT f.user_id,
+             CAST(DATE_TRUNC('week', f.first_day) AS DATE) AS cohort_week,
+             (a.day - f.first_day) // 7 AS week_offset
+      FROM activity a JOIN first_seen f
+        ON a.user_id = f.user_id AND a.day >= f.first_day
+    ),
+    cohort_sizes AS (
+      SELECT CAST(DATE_TRUNC('week', first_day) AS DATE) AS cohort_week,
+             COUNT(DISTINCT user_id) AS cohort_size
+      FROM first_seen GROUP BY 1
+    )
+    SELECT j.cohort_week,
+           CAST(j.week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size, 6)
+             AS retention
+    FROM joined j JOIN cohort_sizes s ON j.cohort_week = s.cohort_week
+    GROUP BY 1, 2, s.cohort_size
+    ORDER BY 1, 2
+    """,
+    tags=("events", "window", "retention", "agg"),
+)
+def q107_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix over the events feed: users
+    cohorted by signup week, activity bucketed by week offset from
+    their first signup day, with per-cohort retention rates.
+
+    Scale: the per-user first-signup aggregate and the distinct
+    (user, day) activity set both reduce events map-side before any
+    join; the join key is user_id (one shuffle of 16-byte rows, never
+    raw events), and cohort sizes — one row per week — broadcast back
+    onto the cohort matrix. Week offsets use integer day arithmetic
+    (no float division: DuckDB // vs Spark floor differ on casts,
+    both sides run floor over a non-negative int/7)."""
+    e = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    first = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("first_day"))
+    )
+    activity = e.select("user_id", day.alias("day")).distinct()
+    cohort_week = F.date_trunc("week", F.col("first_day")).cast("date")
+    joined = (
+        activity.join(first, "user_id")
+        .filter(F.col("day") >= F.col("first_day"))
+        .select(
+            "user_id",
+            cohort_week.alias("cohort_week"),
+            F.floor(F.datediff("day", "first_day") / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+    )
+    sizes = first.groupBy(cohort_week.alias("cohort_week")).agg(
+        F.count_distinct("user_id").alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active_users").cast("bigint").alias("n_active_users"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("n_active_users").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "q108_funnel_conversion",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_then_click,
+           CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
+           ROUND(CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END), 6)
+             AS view_to_click,
+           ROUND(CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END), 6)
+             AS click_to_purchase
+    FROM m
+    """,
+    tags=("events", "funnel", "agg"),
+)
+def q108_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per-user first
+    timestamps per stage via conditional MIN aggregates, then strict
+    ordering comparisons — the sessionless funnel every event pipeline
+    computes. NULL semantics carry the funnel logic (a missing stage
+    yields NULL, and NULL > x is NULL -> not counted), identical in
+    both engines.
+
+    Scale: one map-side-combined aggregate by user_id (three
+    conditional mins travel as one 24-byte payload), one scalar
+    reduce. Events never shuffle raw; no self-join — the naive form
+    joins events to itself per funnel edge."""
+    e = load(spark, sf_dir, "events")
+
+    def first_ts(evt: str):
+        return F.min(F.when(F.col("event_type") == evt, F.col("ts")))
+
+    m = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    n_view = F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+    n_vc = F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0))
+    n_full = F.sum(
+        F.when(
+            (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            1,
+        ).otherwise(0)
+    )
+    return m.agg(
+        n_view.cast("bigint").alias("n_view"),
+        n_vc.cast("bigint").alias("n_view_then_click"),
+        n_full.cast("bigint").alias("n_full_funnel"),
+        F.round(n_vc.cast("double") / n_view, 6).alias("view_to_click"),
+        F.round(n_full.cast("double") / n_vc, 6).alias("click_to_purchase"),
+    )
