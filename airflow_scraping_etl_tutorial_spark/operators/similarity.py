@@ -349,41 +349,99 @@ def kmeans_centroids(
         F.col(id_col), as_double(F.col("embedding")).alias("_e")
     )
     for _ in range(n_iterations):
-        scored = vecs.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            "_e",
-            "centroid_id",
-            cosine(F.col("_e"), F.col("c_emb")).alias("_cos"),
-        )
-        w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("centroid_id"))
-        assigned = (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("centroid_id", "_e")
-        )
-        # Component means via posexplode + (centroid, position) groupBy
-        # instead of dim wide aggregate expressions: the expression tree
-        # stays O(1) in dim (a 64-agg projection costs seconds of
-        # analysis/codegen per iteration and wouldn't survive dim=4096).
-        # Decimal-exact sums keep the means order-independent; the array
-        # is rebuilt position-sorted, so the result is bit-identical to
-        # the wide form.
-        comp = assigned.select(
-            "centroid_id", F.posexplode("_e").alias("_pos", "_val")
-        )
-        means = comp.groupBy("centroid_id", "_pos").agg(
-            (
-                F.sum(F.col("_val").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("_mean")
-        )
-        cents = means.groupBy("centroid_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_mean"))),
-                lambda s: s["_mean"],
-            ).alias("c_emb")
-        )
+        cents = _lloyd_step(vecs, cents, id_col)
     return cents
+
+
+def _lloyd_step(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """One Lloyd iteration: argmax-cosine assignment (broadcast map
+    stage) + per-cluster component means.
+
+    Component means go via posexplode + (centroid, position) groupBy
+    instead of dim wide aggregate expressions: the expression tree
+    stays O(1) in dim (a 64-agg projection costs seconds of
+    analysis/codegen per iteration and wouldn't survive dim=4096).
+    Decimal-exact sums keep the means order-independent; the array is
+    rebuilt position-sorted, so the result is bit-identical to the
+    wide form."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "_e",
+        "centroid_id",
+        cosine(F.col("_e"), F.col("c_emb")).alias("_cos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("centroid_id", "_e")
+    )
+    comp = assigned.select("centroid_id", F.posexplode("_e").alias("_pos", "_val"))
+    means = comp.groupBy("centroid_id", "_pos").agg(
+        (
+            F.sum(F.col("_val").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_mean")
+    )
+    return means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_mean"))),
+            lambda s: s["_mean"],
+        ).alias("c_emb")
+    )
+
+
+def kmeans_centroids_converged(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    tol: float = 1e-6,
+    max_iterations: int = 20,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, int]:
+    """Lloyd training run to CONVERGENCE: iterate `_lloyd_step` until
+    the largest per-component centroid movement drops below `tol` (or
+    `max_iterations` caps the loop). The convergence test is one
+    driver-side SCALAR per iteration — the same bounded-collect
+    pattern as the connected-components fixpoint (cluster.py): an
+    aggregate of m centroids, never data. Each iteration's centroids
+    are localCheckpoint'ed (they are m tiny rows) so the loop's
+    lineage doesn't stack Lloyd steps into one unbounded plan.
+
+    Unlike the fixed-count `kmeans_centroids` (whose bounded plan the
+    q96 oracle replays exactly), the data-dependent trip count here is
+    for library use — pipelines that want trained-to-rest centroids
+    and accept a driver round-trip per iteration.
+
+    Returns (centroids DataFrame, iterations actually run)."""
+    cents = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            as_double(F.col("embedding")).alias("c_emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vecs = fan_out(corpus).select(
+        F.col(id_col), as_double(F.col("embedding")).alias("_e")
+    )
+    for it in range(1, max_iterations + 1):
+        new_cents = _lloyd_step(vecs, cents, id_col).localCheckpoint(eager=True)
+        movement = (
+            new_cents.alias("n")
+            .join(cents.alias("o"), "centroid_id")
+            .select(
+                F.array_max(
+                    F.zip_with("n.c_emb", "o.c_emb", lambda a, b: F.abs(a - b))
+                ).alias("_move")
+            )
+            .agg(F.max("_move"))
+            .collect()[0][0]
+        )
+        cents = new_cents
+        if movement is not None and movement < tol:
+            return cents, it
+    return cents, max_iterations
 
 
 def ivf_topk_cosine_trained(

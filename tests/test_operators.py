@@ -547,3 +547,51 @@ def test_train_val_test_split_is_total_and_stable(spark, sf_dir):
     assert by_split["train"] / n_total > 0.85
     assert 0.01 < by_split["val"] / n_total < 0.10
     assert 0.01 < by_split["test"] / n_total < 0.10
+
+
+def test_kmeans_converged_recovers_planted_clusters(spark):
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        cosine,
+        kmeans_centroids,
+        kmeans_centroids_converged,
+    )
+
+    # Two tight clusters around orthogonal directions in 4-dim.
+    rows = []
+    for i in range(10):
+        eps = 0.01 * (i % 3)
+        rows.append(Row(vec_id=i, embedding=[1.0, eps, 0.0, eps]))
+        rows.append(Row(vec_id=100 + i, embedding=[0.0, eps, 1.0, eps]))
+    df = spark.createDataFrame(rows)
+
+    cents, n_iters = kmeans_centroids_converged(df, n_centroids=2, tol=1e-9)
+    got = {tuple(round(x, 3) for x in r["c_emb"]) for r in cents.collect()}
+    assert len(got) == 2
+    assert 1 <= n_iters < 20  # converged before the cap
+    # Each planted direction is the dominant component of one centroid.
+    dominants = {max(range(4), key=lambda i, t=t: t[i]) for t in got}
+    assert dominants == {0, 2}
+
+    # Convergence run agrees with a long fixed run (same fixpoint).
+    fixed = kmeans_centroids(df, n_centroids=2, n_iterations=n_iters)
+    fixed_set = {tuple(round(x, 9) for x in r["c_emb"]) for r in fixed.collect()}
+    conv_set = {tuple(round(x, 9) for x in r["c_emb"]) for r in cents.collect()}
+    assert fixed_set == conv_set
+    # and assignments split the two planted groups
+    assigned = (
+        df.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", cosine(F.col("embedding"), F.col("c_emb")).alias("c"))
+    )
+    from pyspark.sql import Window as W2
+
+    top = (
+        assigned.withColumn(
+            "r", F.row_number().over(W2.partitionBy("vec_id").orderBy(F.desc("c")))
+        )
+        .filter("r = 1")
+        .collect()
+    )
+    by_cluster = {}
+    for r in top:
+        by_cluster.setdefault(r["centroid_id"], set()).add(r["vec_id"] < 100)
+    assert all(len(v) == 1 for v in by_cluster.values())
