@@ -160,3 +160,59 @@ def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:
         return pd.DataFrame({key: pdf[key], value: pdf[value], "zscore": z})
 
     return df.select(key, value).groupBy(key).applyInPandas(normalize, out_schema)
+
+
+def zscore_per_group_exact(
+    df: DataFrame, key: str, id_col: str, value: str
+) -> DataFrame:
+    """Grouped-map applyInPandas z-score with CROSS-ENGINE-exact
+    moments: group mean/std are derived from exact integer micro-sums
+    (the q85 recipe — per-term Decimal quantization of the exact
+    binary double at 1e-6 for x and 1e-4 for x*x, matching DuckDB's
+    CAST(... AS DECIMAL(18,6)/DECIMAL(24,4)) sums), then mu/sd/z are
+    computed in plain IEEE double ops both engines execute
+    identically. A float .mean()/.std() would be order- and
+    algorithm-dependent and never hash-match an oracle.
+
+    Scale caveat (inherent to grouped-map): one group = one in-memory
+    pandas frame, so key cardinality/skew decide usability; the
+    built-in window/groupBy form is the hot-path choice. Self-
+    contained closure: imports live inside so cloudpickle ships it by
+    value (workers must not re-import this module — the decorators up
+    top need a live SparkContext)."""
+    out_schema = f"{key} string, {id_col} long, {value} double, zscore double"
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as _pd
+
+        v = pdf[value]
+        n = len(v)
+        q6, q4 = Decimal("1e-6"), Decimal("1e-4")
+        sx_micro = sum(
+            int(Decimal(float(x)).quantize(q6, rounding=ROUND_HALF_UP).scaleb(6))
+            for x in v
+        )
+        sxx_q = sum(
+            int(
+                Decimal(float(x) * float(x))
+                .quantize(q4, rounding=ROUND_HALF_UP)
+                .scaleb(4)
+            )
+            for x in v
+        )
+        sx = float(sx_micro) / 1e6
+        sxx = float(sxx_q) / 1e4
+        if n > 1:
+            sd = math.sqrt((sxx - sx * sx / n) / (n - 1))
+        else:
+            sd = 0.0
+        mu = sx / n
+        z = (v - mu) / sd if sd > 0 else v * 0.0
+        return _pd.DataFrame(
+            {key: pdf[key], id_col: pdf[id_col], value: v, "zscore": z}
+        )
+
+    return df.groupBy(key).applyInPandas(normalize, schema=out_schema)

@@ -1786,3 +1786,48 @@ def q105_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "q109_grouped_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(24,4)))
+               AS DOUBLE) AS sxx
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderstatus,
+           o.o_orderkey,
+           o.o_totalprice,
+           ROUND((o.o_totalprice - sx / n)
+                 / SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+    FROM orders o JOIN m USING (o_orderstatus)
+    ORDER BY o.o_orderkey
+    """,
+    tags=("udx", "grouped-map", "stats"),
+)
+def q109_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas z-score normalization (per-status
+    order values), driver-checked: the pandas side derives group
+    moments from exact integer micro-sums (operators/udx.py::
+    zscore_per_group_exact), so the oracle replays the identical
+    mu/sd doubles from decimal power sums and the per-row
+    (x - mu) / sd arithmetic bit-for-bit. This puts the LAST UDx
+    family member (grouped-map) under the value-hash gate alongside
+    the UDTF (q79) and the grouped-agg UDAF (q85). Rounding happens
+    JVM-side after the UDF (Spark ROUND == DuckDB ROUND)."""
+    from ..operators.udx import zscore_per_group_exact
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    out = zscore_per_group_exact(o, "o_orderstatus", "o_orderkey", "o_totalprice")
+    return out.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.round("zscore", 6).alias("zscore"),
+    ).orderBy("o_orderkey")
