@@ -1066,3 +1066,57 @@ def q108_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_vc.cast("double") / n_view, 6).alias("view_to_click"),
         F.round(n_full.cast("double") / n_vc, 6).alias("click_to_purchase"),
     )
+
+
+@query(
+    "q110_histogram_fixed_width",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 11) AS bucket_id,
+             o_totalprice
+      FROM orders
+    )
+    SELECT bucket_id,
+           CAST(bucket_id * 50000.0 AS DOUBLE) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS bucket_total,
+           ROUND(MIN(o_totalprice), 2) AS bucket_min,
+           ROUND(MAX(o_totalprice), 2) AS bucket_max
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def q110_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (50k-wide buckets, last
+    bucket open-ended): the distribution profile every data-quality /
+    drift monitor computes. Bucket assignment is a map-only floor
+    division (Spark F.floor == DuckDB explicit FLOOR — NOTE DuckDB's
+    `//` does NOT floor when an operand is DOUBLE: it degrades to `/`
+    and a later BIGINT CAST rounds, the NOTES.md float-quotient trap;
+    FLOOR makes the result integral so the CAST is safe), then one
+    map-side-combined aggregation over at most 12 groups; money totals
+    use the decimal-exact sum pattern."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(11))
+    return (
+        o.select(bucket.alias("bucket_id"), "o_totalprice")
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("bucket_total"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+        .select(
+            "bucket_id",
+            (F.col("bucket_id") * 50000.0).alias("bucket_lo"),
+            "n_orders",
+            "bucket_total",
+            "bucket_min",
+            "bucket_max",
+        )
+        .orderBy("bucket_id")
+    )
