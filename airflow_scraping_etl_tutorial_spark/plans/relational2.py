@@ -1120,3 +1120,66 @@ def q110_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_id")
     )
+
+
+@query(
+    "q111_tpch_q21_sole_returning_supplier",
+    oracle="""
+    WITH r_lines AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R'
+    ),
+    all_lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM r_lines l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM all_lines l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM r_lines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+    tags=("join", "semi", "anti", "tpch", "correlated"),
+)
+def q111_tpch_q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the fixtures lack commit/receipt dates, so
+    'kept waiting' becomes 'sole returning supplier'): suppliers with
+    a returned lineitem on a multi-supplier order where NO other
+    supplier had a return — the classic correlated EXISTS + NOT
+    EXISTS double self-join on the fact table, expressed as
+    left-semi + left-anti joins.
+
+    Scale: lineitem collapses to DISTINCT (orderkey, suppkey) pairs
+    map-side BEFORE the self-joins (the only columns the correlation
+    touches), so both semi and anti join 16-byte pairs equi-keyed on
+    l_orderkey — the inequality on suppkey rides the equi-key as a
+    join residual, never a cartesian. Supplier broadcasts; top-10
+    plans as TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    r_lines = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_lines = li.select("l_orderkey", "l_suppkey").distinct()
+    on_other = (F.col("l1.l_orderkey") == F.col("l2.l_orderkey")) & (
+        F.col("l1.l_suppkey") != F.col("l2.l_suppkey")
+    )
+    on_other_r = (F.col("l1.l_orderkey") == F.col("l3.l_orderkey")) & (
+        F.col("l1.l_suppkey") != F.col("l3.l_suppkey")
+    )
+    sole = (
+        r_lines.alias("l1")
+        .join(all_lines.alias("l2"), on_other, "left_semi")
+        .alias("l1")
+        .join(r_lines.alias("l3"), on_other_r, "left_anti")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
