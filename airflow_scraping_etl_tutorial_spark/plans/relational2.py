@@ -1183,3 +1183,71 @@ def q111_tpch_q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> D
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+@query(
+    "q112_calendar_gap_detection",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM days),
+    spine AS (
+      SELECT CAST(UNNEST(GENERATE_SERIES(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    spine_m AS (
+      SELECT CAST(DATE_TRUNC('month', day) AS DATE) AS month,
+             COUNT(*) AS n_days
+      FROM spine GROUP BY 1
+    ),
+    present_m AS (
+      SELECT CAST(DATE_TRUNC('month', day) AS DATE) AS month,
+             COUNT(*) AS n_present
+      FROM days GROUP BY 1
+    )
+    SELECT s.month,
+           CAST(s.n_days AS BIGINT) AS n_days,
+           CAST(COALESCE(p.n_present, 0) AS BIGINT) AS n_present,
+           CAST(s.n_days - COALESCE(p.n_present, 0) AS BIGINT) AS n_missing
+    FROM spine_m s LEFT JOIN present_m p ON s.month = p.month
+    ORDER BY 1
+    """,
+    tags=("date", "spine", "gap-detection"),
+)
+def q112_calendar_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap detection: generate the full day spine between
+    the first and last observed order dates (F.sequence over DATE — the
+    generated dimension the reference's daily `investment_data` table
+    needs to tell market-closed days from silently missed loads, its C2
+    no-op-day semantics) and report per-month coverage: spine days,
+    days with data, missing days.
+
+    Scale: the observed-day set collapses map-side to DISTINCT dates
+    (cardinality = days, independent of row count); the spine
+    materializes from ONE aggregate row on the driver-free sequence
+    expression; both monthly rollups shuffle only day-grain rows. At
+    100 TB the whole query moves a few thousand dates."""
+    o = load(spark, sf_dir, "orders")
+    days = o.select(F.col("o_orderdate").cast("date").alias("day")).distinct()
+    bounds = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    month = lambda c: F.date_trunc("month", F.col(c)).cast("date")  # noqa: E731
+    spine_m = spine.groupBy(month("day").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    present_m = days.groupBy(month("day").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_present")
+    )
+    return (
+        spine_m.join(present_m, "month", "left")
+        .select(
+            "month",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.coalesce("n_present", F.lit(0)).cast("bigint").alias("n_present"),
+            (F.col("n_days") - F.coalesce("n_present", F.lit(0)))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+        .orderBy("month")
+    )
