@@ -1251,3 +1251,45 @@ def q112_calendar_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "q113_window_ntile_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           n_name AS nation,
+           c_acctbal,
+           NTILE(4) OVER w AS bal_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("window", "ntile", "rank"),
+)
+def q113_window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the ranking-window family: PERCENT_RANK (the one
+    member q17's rank/dense_rank/cume_dist/ntile mix lacks) plus NTILE
+    quartiles on a second grain (customers per nation; q17 ranks
+    suppliers globally). The window orders by (value, key) so ties are
+    broken identically in both engines — NTILE assigns by row position,
+    so a non-unique ordering would be nondeterministic. PERCENT_RANK is
+    the exact rational (rank-1)/(n-1), bit-identical cross-engine.
+
+    Scale: one shuffle on the partition key; per-partition sort;
+    nothing global. Same contract as every partitioned window: a
+    nation's customers fit a task or the key needs sub-bucketing."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            "c_acctbal",
+            F.ntile(4).over(w).alias("bal_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        )
+        .orderBy("c_custkey")
+    )
