@@ -75,7 +75,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _ROUND1_GREEN = frozenset(
     f"q{i:02d}" for i in [*range(1, 29), *range(30, 35), *range(43, 50), *range(55, 60), 88, 89]
 )
-_ROUND2_EXTRA = frozenset(f"q{i}" for i in [*range(94, 99), 99, *range(100, 114)])
+_ROUND2_EXTRA = frozenset(f"q{i}" for i in [*range(94, 99), 99, *range(100, 115)])
 
 
 def _priority(name: str) -> int:

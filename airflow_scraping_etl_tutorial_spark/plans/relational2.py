@@ -1293,3 +1293,41 @@ def q113_window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "q114_join_key_skew_diagnosis",
+    oracle="""
+    WITH g AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+    m AS (SELECT MEDIAN(n) AS med FROM g)
+    SELECT o_custkey,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(n / med, 6) AS ratio_vs_median
+    FROM g, m
+    ORDER BY n DESC, o_custkey LIMIT 10
+    """,
+    tags=("agg", "skew", "diagnosis"),
+)
+def q114_join_key_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: per-key group sizes vs the median group
+    size, top offenders first — the profiling step that decides whether
+    a join needs `operators/skew.py::salted_join` (and how many salts:
+    ceil(hot-key rows / target-partition rows)) before AQE's runtime
+    skew split becomes the only line of defense.
+
+    Scale: one map-side-combined count per key; the median reduces the
+    KEY-cardinality table (not the fact table) and broadcasts back as a
+    single row; top-10 plans as TakeOrderedAndProject."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    m = g.agg(F.expr("percentile(n, 0.5)").alias("med"))
+    return (
+        g.crossJoin(F.broadcast(m))
+        .select(
+            "o_custkey",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("n") / F.col("med"), 6).alias("ratio_vs_median"),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(10)
+    )
