@@ -205,10 +205,12 @@ def zscore_per_group_exact(
         )
         sx = float(sx_micro) / 1e6
         sxx = float(sxx_q) / 1e4
-        if n > 1:
-            sd = math.sqrt((sxx - sx * sx / n) / (n - 1))
-        else:
-            sd = 0.0
+        # Guard the radicand too: quantization can push a zero-variance
+        # group's sxx - sx*sx/n a hair negative; both engines treat any
+        # non-positive variance as sd = 0 -> z = 0.0 (oracle mirrors
+        # with the same `> 0` predicate).
+        var = (sxx - sx * sx / n) / (n - 1) if n > 1 else 0.0
+        sd = math.sqrt(var) if var > 0 else 0.0
         mu = sx / n
         z = (v - mu) / sd if sd > 0 else v * 0.0
         return _pd.DataFrame(

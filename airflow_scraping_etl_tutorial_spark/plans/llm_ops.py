@@ -890,24 +890,33 @@ def q79_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
              QUANTILE_CONT(o_totalprice, 0.9) AS hi,
              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                    / COUNT(*), 4) AS mean_price,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+               AS micro_sum_all,
              COUNT(*) AS n
       FROM orders GROUP BY 1
     ),
     k AS (
+      -- UDAF small-group fallbacks mirrored (ADVICE r2): groups with
+      -- n < 3 keep ALL values (gated out of k -> COALESCE below), and a
+      -- group whose [p10,p90] band keeps nothing falls back too (no k
+      -- row -> LEFT JOIN + COALESCE). For n >= 3, QUANTILE_CONT's
+      -- (n-1)*q interpolation always brackets the median, so the band
+      -- is non-empty and k matches the UDAF's kept set exactly.
       SELECT o.o_orderstatus,
              SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT))
                AS micro_sum,
              COUNT(*) AS n_kept
       FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus
-      WHERE o.o_totalprice BETWEEN q.lo AND q.hi
+      WHERE o.o_totalprice BETWEEN q.lo AND q.hi AND q.n >= 3
       GROUP BY 1
     )
     SELECT q.o_orderstatus,
-           ROUND((CAST(k.micro_sum AS DOUBLE) / 1000000.0) / k.n_kept, 4)
+           ROUND((CAST(COALESCE(k.micro_sum, q.micro_sum_all) AS DOUBLE)
+                  / 1000000.0) / COALESCE(k.n_kept, q.n), 4)
              AS trimmed_mean_price,
            q.mean_price,
            CAST(q.n AS BIGINT) AS n
-    FROM q JOIN k USING (o_orderstatus)
+    FROM q LEFT JOIN k USING (o_orderstatus)
     ORDER BY o_orderstatus
     """,
     tags=("agg", "udaf", "pandas"),
@@ -928,7 +937,7 @@ def q85_pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q86_minhash_estimation_accuracy",
     oracle=f"""
-    WITH {_sql_minhash_pairs(0.0)},
+    WITH {_sql_minhash_pairs(1e-9)},
     hx16 AS ({_sql_minhash_sig_cte(16)}),
     scored AS (
       SELECT pairs.jaccard AS exact_jaccard,
@@ -963,7 +972,11 @@ def q86_minhash_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
     d = load(spark, sf_dir, "documents")
     sw = shingle_words(d, 3)
     sig = sw.select("doc_id", *_minhash_cols(F.col("xs"), F.col("vs"), n_hashes))
-    cand = minhash_near_duplicates(d, jaccard_threshold=0.0).select(
+    # Threshold 1e-9, not 0.0: at exactly 0.0 the Spark-side exact-Jaccard
+    # verify no longer absorbs bucket-KEY collisions (xxhash64) that the
+    # oracle's band-TUPLE-equality join excludes — a tiny positive floor
+    # keeps both sides candidate-identical (ADVICE r2).
+    cand = minhash_near_duplicates(d, jaccard_threshold=1e-9).select(
         "doc_id_a", "doc_id_b", F.col("jaccard").alias("exact_jaccard")
     )
     sa = sig.select(
@@ -1802,8 +1815,13 @@ def q105_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderstatus,
            o.o_orderkey,
            o.o_totalprice,
-           ROUND((o.o_totalprice - sx / n)
-                 / SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+           -- Degenerate-group guard mirrored from the pandas side
+           -- (ADVICE r2): n == 1 or zero variance -> z = 0.0, never a
+           -- division by zero / NULL.
+           CASE WHEN m.n > 1 AND m.sxx - m.sx * m.sx / m.n > 0
+                THEN ROUND((o.o_totalprice - m.sx / m.n)
+                           / SQRT((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)), 6)
+                ELSE 0.0 END AS zscore
     FROM orders o JOIN m USING (o_orderstatus)
     ORDER BY o.o_orderkey
     """,

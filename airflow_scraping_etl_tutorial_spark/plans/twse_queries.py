@@ -122,12 +122,12 @@ def q52_twse_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM raw
     )
     SELECT
-      (SELECT SUM(buy) FROM typed WHERE unit_name <> '合計') AS buy_total,
-      (SELECT SUM(sell) FROM typed WHERE unit_name <> '合計') AS sell_total,
-      (SELECT SUM(buy) FROM typed WHERE unit_name <> '合計')
-        = (SELECT buy FROM typed WHERE unit_name = '合計') AS buy_matches,
-      (SELECT SUM(sell) FROM typed WHERE unit_name <> '合計')
-        = (SELECT sell FROM typed WHERE unit_name = '合計') AS sell_matches
+      CAST((SELECT SUM(buy) FROM typed WHERE unit_name <> '合計') AS BIGINT) AS buy_total,
+      CAST((SELECT SUM(sell) FROM typed WHERE unit_name <> '合計') AS BIGINT) AS sell_total,
+      CAST((SELECT SUM(buy) FROM typed WHERE unit_name <> '合計')
+        = (SELECT buy FROM typed WHERE unit_name = '合計') AS INT) AS buy_matches,
+      CAST((SELECT SUM(sell) FROM typed WHERE unit_name <> '合計')
+        = (SELECT sell FROM typed WHERE unit_name = '合計') AS INT) AS sell_matches
     """,
     tags=("twse", "etl", "agg"),
 )
@@ -150,9 +150,12 @@ def q53_twse_totals_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_row = typed.filter(F.col("unit_name") == "合計").select(
         F.col("buy").alias("buy_claim"), F.col("sell").alias("sell_claim")
     )
+    # Driver-compare doctrine (q87/q53 lessons, NOTES.md): SUM stays BIGINT
+    # on both sides (DuckDB SUM(BIGINT) is HUGEINT without the cast) and
+    # booleans are projected as INT 0/1.
     return kept.crossJoin(total_row).select(
         "buy_total",
         "sell_total",
-        (F.col("buy_total") == F.col("buy_claim")).alias("buy_matches"),
-        (F.col("sell_total") == F.col("sell_claim")).alias("sell_matches"),
+        (F.col("buy_total") == F.col("buy_claim")).cast("int").alias("buy_matches"),
+        (F.col("sell_total") == F.col("sell_claim")).cast("int").alias("sell_matches"),
     )

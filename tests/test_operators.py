@@ -359,6 +359,26 @@ def test_release_intermediates_unpersists(spark, docs):
     assert release_intermediates(pairs) == 0  # idempotent: tags cleared
 
 
+def test_release_session_intermediates_survives_chaining(spark, docs):
+    """The realistic caller chains .orderBy/.select on the operator's
+    return value, which drops the tag attribute — the session-scoped
+    registry still drains the persisted blocks (ADVICE r2)."""
+    from airflow_scraping_etl_tutorial_spark.functions.caching import (
+        release_session_intermediates,
+    )
+
+    spark.catalog.clearCache()
+    release_session_intermediates(spark)  # drain leftovers from other tests
+    chained = minhash_near_duplicates(docs, jaccard_threshold=0.5).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+    chained.count()
+    assert not hasattr(chained, "_sg_persisted_intermediates")  # tag lost
+    released = release_session_intermediates(spark, blocking=True)
+    assert released >= 1
+    assert release_session_intermediates(spark) == 0  # idempotent
+
+
 def test_ngram_jaccard_stop_shingle_pruning(spark, docs):
     """Stop-shingle cap drops hot shingles from the INDEX only: the
     near-dup pair is still found through its cold shared shingles and
