@@ -348,8 +348,13 @@ def kmeans_centroids(
     vecs = fan_out(corpus).select(
         F.col(id_col), as_double(F.col("embedding")).alias("_e")
     )
+    # Each iteration materializes its m tiny centroid rows
+    # (localCheckpoint, the kmeans_centroids_converged pattern):
+    # iteration i+1 broadcasts iteration i's result, and without the
+    # checkpoint that broadcast re-executes the whole prior Lloyd
+    # lineage — train each step once, then ship the model.
     for _ in range(n_iterations):
-        cents = _lloyd_step(vecs, cents, id_col)
+        cents = _lloyd_step(vecs, cents, id_col).localCheckpoint(eager=True)
     return cents
 
 
@@ -458,7 +463,13 @@ def ivf_topk_cosine_trained(
     competitive (cells track the data's modes); on near-uniform data it
     reshapes cells without a guaranteed recall win — tests assert the
     recall band vs the exact baseline. The partition/probe/re-rank
-    machinery matches ivf_topk_cosine; only centroid quality changes."""
+    machinery matches ivf_topk_cosine; only centroid quality changes.
+
+    The trained model arrives materialized (kmeans_centroids
+    localCheckpoints each iteration's m tiny rows): both assign() calls
+    crossJoin it, and without materialization each broadcast would
+    re-execute the full multi-shuffle Lloyd lineage — train once, then
+    ship the model, exactly as at scale."""
     cents = kmeans_centroids(corpus, n_centroids, n_iterations, id_col=id_col)
 
     def assign(df: DataFrame, vid: str, keep: int) -> DataFrame:

@@ -1298,9 +1298,13 @@ def q95_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_kmeans_ivf_oracle(
-    n_centroids: int = 16, n_probe: int = 4, k: int = 5, dim: int = 64
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    dim: int = 64,
+    n_iterations: int = 2,
 ) -> str:
-    """Unrolled 2-iteration Lloyd + IVF search, DuckDB-side twin of
+    """Unrolled n-iteration Lloyd + IVF search, DuckDB-side twin of
     operators.similarity.kmeans_centroids / ivf_topk_cosine_trained.
     Component means use the decimal-exact pattern, assignments the same
     left-associated cosine chains — every intermediate double matches
@@ -1319,37 +1323,48 @@ def _sql_kmeans_ivf_oracle(
     )
     norm_c = " + ".join(f"m.c_{i} * m.c_{i}" for i in range(dim))
     cos_cols = f"(({dot_ec}) / (SQRT({norm_e}) * SQRT({norm_c})))"
+    # One (a_i, m_i) CTE pair per Lloyd iteration; iteration 1 assigns
+    # against the raw cent0 sample, later ones against the previous
+    # iteration's means.
+    iter_ctes = []
+    for it in range(1, n_iterations + 1):
+        if it == 1:
+            assign_from = "cent0 c"
+            order_expr = f"{_sql_cosine('e.embedding', 'c.ce')} DESC, c.cid"
+            cid = "c.cid"
+        else:
+            assign_from = f"m{it - 1} m"
+            order_expr = f"{cos_cols} DESC, m.cid"
+            cid = "m.cid"
+        iter_ctes.append(
+            f"""a{it} AS (
+      SELECT e.vec_id, e.embedding, {cid},
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {order_expr}) AS rn
+      FROM embeddings e CROSS JOIN {assign_from}
+    ),
+    m{it} AS (SELECT cid, {means} FROM a{it} WHERE rn = 1 GROUP BY cid)"""
+        )
+    lloyd_sql = ",\n    ".join(iter_ctes)
+    final = f"m{n_iterations}"
     return f"""
     WITH cent0 AS (
       SELECT vec_id AS cid, embedding AS ce FROM embeddings
       ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
     ),
-    a1 AS (
-      SELECT e.vec_id, e.embedding, c.cid,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY {_sql_cosine('e.embedding', 'c.ce')} DESC, c.cid) AS rn
-      FROM embeddings e CROSS JOIN cent0 c
-    ),
-    m1 AS (SELECT cid, {means} FROM a1 WHERE rn = 1 GROUP BY cid),
-    a2 AS (
-      SELECT e.vec_id, e.embedding, m.cid,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY {cos_cols} DESC, m.cid) AS rn
-      FROM embeddings e CROSS JOIN m1 m
-    ),
-    m2 AS (SELECT cid, {means} FROM a2 WHERE rn = 1 GROUP BY cid),
+    {lloyd_sql},
     corpus_assign AS (
       SELECT e.vec_id AS neighbor_id, m.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                ORDER BY {cos_cols} DESC, m.cid) AS rn
-      FROM embeddings e CROSS JOIN m2 m
+      FROM embeddings e CROSS JOIN {final} m
     ),
     corpus_cells AS (SELECT neighbor_id, cid FROM corpus_assign WHERE rn = 1),
     q_assign AS (
       SELECT e.vec_id AS query_id, m.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                ORDER BY {cos_cols} DESC, m.cid) AS rn
-      FROM embeddings e CROSS JOIN m2 m WHERE e.vec_id < 5
+      FROM embeddings e CROSS JOIN {final} m WHERE e.vec_id < 5
     ),
     q_cells AS (SELECT query_id, cid FROM q_assign WHERE rn <= {n_probe}),
     cand AS (
@@ -1377,25 +1392,28 @@ def _sql_kmeans_ivf_oracle(
 
 @query(
     "q96_ivf_kmeans_trained",
-    oracle=_sql_kmeans_ivf_oracle(),
+    oracle=_sql_kmeans_ivf_oracle(n_iterations=1),
     tags=("llm", "similarity", "ann", "ivf", "kmeans", "iterative"),
 )
 def q96_ivf_kmeans_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with TRAINED centroids: 2 deterministic Lloyd iterations
+    """IVF ANN with TRAINED centroids: a deterministic Lloyd iteration
     (spherical k-means over cosine, decimal-exact component means, md5
-    top-k init) reshape the Voronoi cells vs q76's raw sample (recall
+    top-k init) reshapes the Voronoi cells vs q76's raw sample (recall
     vs the exact baseline is asserted in tests; on real clustered
-    corpora training is what makes IVF competitive). The Spark side is the engine's
-    iterative-training pattern (driver loop of broadcast-assign +
-    aggregate); the oracle UNROLLS both iterations in SQL and replays
-    centroid training, assignment, probing, and re-rank — the trained
-    model itself is value-checked cross-engine."""
+    corpora training is what makes IVF competitive). The Spark side is
+    the engine's iterative-training pattern (driver loop of
+    broadcast-assign + aggregate; `kmeans_centroids(n_iterations=N)` for
+    deeper training, `kmeans_centroids_converged` for train-to-rest);
+    the oracle UNROLLS the training in SQL and replays centroid
+    training, assignment, probing, and re-rank — the trained model
+    itself is value-checked cross-engine. One iteration here keeps the
+    per-round attestation cheap; the oracle builder unrolls any count."""
     from ..operators.similarity import ivf_topk_cosine_trained
 
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk_cosine_trained(
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=16, n_probe=4,
-        n_iterations=2,
+        n_iterations=1,
     ).orderBy("query_id", "rnk")
 
 

@@ -60,31 +60,40 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Queries with a fully-green row in CORRECTNESS_r01.json. The round-1
-# driver evaluated exactly the first 50 entries of ``queries()`` in dict
-# order before its budget cut off, leaving 42 catalog entries with no
-# correctness row at all. ``all_queries()`` therefore yields entries in
-# driver-priority tiers (registration order within each tier), so a
-# budget-capped driver run spends its rows where they add signal:
-#   tier 0 — no driver row yet AND explicitly flagged by VERDICT.md
-#            (round-1 reds q29/q54/q87, array/JSON/math q35-q42, TWSE
-#            q50-q53, LLM-data q60-q92, streaming q80-q84, multimodal
-#            q93);
-#   tier 1 — round-2 additions with no driver row (q94-q102);
-#   tier 2 — already-attested round-1 greens.
-_ROUND1_GREEN = frozenset(
-    f"q{i:02d}" for i in [*range(1, 29), *range(30, 35), *range(43, 50), *range(55, 60), 88, 89]
+# Driver-priority tiering, recomputed each round from the union of
+# CORRECTNESS_r*.json rows (latest attestation wins; the driver attests
+# ~50 queries per round, first-come-first-served over queries() order).
+#
+# _ATTESTED_GREEN below is the r01∪r02 green union (96 entries) MINUS
+# q85/q86, whose oracles changed in round 3 (ADVICE fixes) and so need
+# re-attestation. Tiers for the round-3 run:
+#   tier 0 — known debt, in fixed order: the r02 red (q53), the 17
+#            never-attested entries (q94-q98, q100-q105, q109-q114),
+#            then the two changed-oracle greens (q85, q86);
+#   tier 1 — anything else without a green row (i.e. new round-3
+#            entries), registration order;
+#   tier 2 — attested greens (registration order).
+# Tier 0 + tier 1 must stay within the ~50-query driver budget.
+_ATTESTED_GREEN = frozenset(
+    f"q{i:02d}"
+    for i in range(1, 115)
+    if i not in (53, 85, 86, *range(94, 99), *range(100, 106), *range(109, 115))
 )
-_ROUND2_EXTRA = frozenset(f"q{i}" for i in [*range(94, 99), 99, *range(100, 115)])
+_TIER0_ORDER = {
+    f"q{i}": rank
+    for rank, i in enumerate(
+        [53, *range(94, 99), *range(100, 106), *range(109, 115), 85, 86]
+    )
+}
 
 
-def _priority(name: str) -> int:
+def _priority(name: str) -> tuple[int, int]:
     key = name.split("_", 1)[0]
-    if key in _ROUND1_GREEN:
-        return 2
-    if key in _ROUND2_EXTRA:
-        return 1
-    return 0
+    if key in _TIER0_ORDER:
+        return (0, _TIER0_ORDER[key])
+    if key.lstrip("q").isdigit() and f"q{int(key[1:]):02d}" in _ATTESTED_GREEN:
+        return (2, 0)
+    return (1, 0)
 
 
 def all_queries() -> dict[str, QuerySpec]:
