@@ -30,6 +30,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.relational",
     "airflow_scraping_etl_tutorial_spark.plans.relational2",
+    "airflow_scraping_etl_tutorial_spark.plans.relational3",
     "airflow_scraping_etl_tutorial_spark.plans.functions_catalog",
     "airflow_scraping_etl_tutorial_spark.plans.twse_queries",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops",
