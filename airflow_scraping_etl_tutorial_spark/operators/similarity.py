@@ -396,6 +396,63 @@ def _lloyd_step(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def kmeans_training_trajectory(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iterations: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-iteration k-means convergence audit: for each Lloyd
+    iteration, the number of live centroids (clusters that won >= 1
+    vector — losers drop out, standard Lloyd) and the largest
+    per-component centroid movement vs the previous iteration's model.
+
+    This is the training-run health check a 100-TB pipeline logs every
+    round: movement trending to zero says the model rested; a live-count
+    drop says cells collapsed. Built entirely from bounded model-sized
+    DataFrames (m rows per iteration, localCheckpoint'ed like
+    kmeans_centroids), so the audit itself is a union of m-row
+    aggregates — no data-sized collect anywhere. The movement doubles
+    come from the same decimal-exact means the oracle replays, so the
+    whole trajectory sits under the value-hash gate.
+
+    Returns (iteration int, n_live bigint, max_move double round 6)."""
+    prev = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            as_double(F.col("embedding")).alias("c_emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vecs = fan_out(corpus).select(
+        F.col(id_col), as_double(F.col("embedding")).alias("_e")
+    )
+    audits = []
+    for it in range(1, n_iterations + 1):
+        cur = _lloyd_step(vecs, prev, id_col).localCheckpoint(eager=True)
+        audits.append(
+            cur.alias("n")
+            .join(prev.alias("o"), "centroid_id")
+            .select(
+                F.array_max(
+                    F.zip_with("n.c_emb", "o.c_emb", lambda a, b: F.abs(a - b))
+                ).alias("_move")
+            )
+            .agg(
+                F.lit(it).cast("int").alias("iteration"),
+                F.count(F.lit(1)).cast("bigint").alias("n_live"),
+                F.round(F.max("_move"), 6).alias("max_move"),
+            )
+        )
+        prev = cur
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 def kmeans_centroids_converged(
     corpus: DataFrame,
     n_centroids: int = 16,

