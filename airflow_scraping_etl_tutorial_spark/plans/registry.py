@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.twse_queries",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops2",
+    "airflow_scraping_etl_tutorial_spark.plans.relational4",
     "airflow_scraping_etl_tutorial_spark.plans.streaming_queries",
 )
 
