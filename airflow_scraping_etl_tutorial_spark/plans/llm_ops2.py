@@ -16,11 +16,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.compare import money_sum
-from ..operators.dedup import simhash_near_duplicates
+from ..operators.dedup import shingle_hashes, simhash_near_duplicates
 from ..operators.similarity import as_double, kmeans_training_trajectory
 from ..operators.text import tokens
 from ..sources.tables import load
-from .llm_ops import _sql_cosine, _sql_hex60
+from .llm_ops import _SQL_SHINGLES3, _sql_cosine, _sql_hex60
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -476,4 +476,210 @@ def q130_view_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFr
             money_sum(F.col("value")).alias("linked_value"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block-level dedup — C4/Dolma line-dedup plumbing on flat word streams
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q139_block_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+    b AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               RANGE(0, GREATEST(CAST(CEIL(LEN(words) / 16.0) AS BIGINT), 1)),
+               i -> ARRAY_TO_STRING(words[i*16+1:i*16+16], ' ')) AS blocks
+      FROM w),
+    e AS (
+      SELECT doc_id, UNNEST(blocks) AS block,
+             CAST(UNNEST(RANGE(LEN(blocks))) AS INT) AS block_idx
+      FROM b),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY MD5(block)
+                                ORDER BY doc_id, block_idx) AS rn
+      FROM e)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_blocks,
+           ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_block_frac
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "dedup", "block", "c4"),
+)
+def q139_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level dedup — the C4/Dolma LINE-dedup pass re-expressed on
+    the fixture's flat word streams: each document splits into fixed
+    16-word blocks, a block occurrence is a duplicate unless it is the
+    global first occurrence (min (doc_id, position) per block hash),
+    and each doc reports its duplicated-block fraction (the C4 rule
+    then drops blocks, not docs — the fraction is the audit number).
+
+    Scale: only (16-byte digest, doc_id, position) tuples shuffle for
+    the first-occurrence window — block text never moves, exactly like
+    the exact-dedup operator. Per-doc re-agg is a partial-agg'd
+    groupBy on doc_id. At 100 TB this is two digest-keyed shuffles of
+    ~24 bytes/block."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_blocks = F.greatest(
+        F.ceil(F.size(words) / F.lit(16.0)).cast("int"), F.lit(1)
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice(words, i * 16 + 1, 16), " "),
+    )
+    e = d.select("doc_id", F.posexplode(blocks).alias("block_idx", "block"))
+    ranked = e.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy(F.md5("block")).orderBy("doc_id", "block_idx"))
+        .alias("rn"),
+    )
+    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            dup.cast("bigint").alias("n_dup_blocks"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_block_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style merge-pair counting — the tokenizer-training first pass
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q140_bpe_pair_merges",
+    oracle="""
+    WITH w AS (SELECT STRING_SPLIT(text, ' ') AS words FROM documents),
+    p AS (
+      SELECT LIST_TRANSFORM(RANGE(1, LEN(words)),
+                            i -> words[i] || ' ' || words[i+1]) AS pairs
+      FROM w),
+    e AS (SELECT UNNEST(pairs) AS pair FROM p)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM e GROUP BY 1
+    ORDER BY pair_count DESC, pair LIMIT 25
+    """,
+    tags=("llm", "tokenizer", "bpe", "topk"),
+)
+def q140_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table counting — the first iteration of tokenizer
+    training: corpus-wide adjacent-token-pair frequencies, top 25 by
+    (count, pair). Real BPE re-runs this after each merge; the
+    per-iteration workload IS this query, so the plan under test is the
+    one a distributed tokenizer trainer loops.
+
+    Scale: pair explosion is map-only array work fused into the scan;
+    the count partial-aggregates map-side (pair cardinality ~ vocab²
+    visible slice, not corpus size), and the final top-25 is
+    TakeOrderedAndProject — no global sort. q104 measures per-doc
+    repetition with the same bigrams; this is the corpus-level twin."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contamination overlap ratio — the graded form of q103's binary flag
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q141_contamination_overlap_ratio",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES3}),
+    g AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+               AS gate,
+             shingles
+      FROM sh),
+    ev AS (
+      SELECT DISTINCT {_sql_hex60('MD5(s)', 1)} AS h
+      FROM (SELECT UNNEST(shingles) AS s FROM g WHERE gate < 16) q),
+    c AS (
+      SELECT doc_id, {_sql_hex60('MD5(s)', 1)} AS h
+      FROM (SELECT doc_id, UNNEST(shingles) AS s FROM g
+            WHERE gate >= 16 AND LEN(shingles) > 0) q)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           ROUND(CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS contamination_ratio
+    FROM c LEFT JOIN ev ON c.h = ev.h
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "dedup", "decontamination", "ratio"),
+)
+def q141_contamination_overlap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination score: for EVERY corpus document (same ~6%
+    md5-gated eval split as q103), the fraction of its distinct 3-word
+    shingle hashes that appear anywhere in the eval set — q103 flags
+    the contaminated docs, this scores the whole corpus so a pipeline
+    can threshold at e.g. 0.8 overlap instead of any-hit.
+
+    Scale: identical shape to q103 — the eval side collapses to
+    distinct 60-bit hashes and BROADCASTS; the corpus explodes to
+    (doc_id, hash) pairs that partial-aggregate map-side back to one
+    row per doc. The corpus never shuffles its text, only 16-byte
+    (doc_id, counts) rows."""
+    d = load(spark, sf_dir, "documents")
+    gate = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    sh = d.select(
+        "doc_id", gate.alias("gate"), shingle_hashes(F.col("text"), 3).alias("hs")
+    )
+    ev = (
+        sh.filter(F.col("gate") < 16)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = (
+        sh.filter((F.col("gate") >= 16) & (F.size("hs") > 0))
+        .select("doc_id", F.explode("hs").alias("h"))
+    )
+    shared = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return (
+        corpus.join(F.broadcast(ev), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            shared.cast("bigint").alias("n_shared"),
+            F.round(shared.cast("double") / F.count(F.lit(1)), 6).alias(
+                "contamination_ratio"
+            ),
+        )
+        .orderBy("doc_id")
     )
