@@ -461,3 +461,48 @@ def decontaminate(
         F.count_distinct("_h").alias("n_shared_ngrams"),
         F.min("_min_eval_doc").alias("min_eval_doc"),
     )
+
+
+def block_dedup_stats(
+    df: DataFrame,
+    block_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Block-level dedup audit — the C4/Dolma LINE-dedup pass for flat
+    word streams: split each document into fixed `block_words`-word
+    blocks, mark every block occurrence a duplicate unless it is the
+    global first occurrence (min (id, position) per block digest), and
+    report per-document (n_blocks, n_dup_blocks, dup_block_frac). The
+    C4 rule then DROPS the duplicate blocks; the fraction is the audit
+    number a pipeline thresholds on.
+
+    Scale: the first-occurrence window shuffles only (16-byte digest,
+    id, position) tuples — block text never moves — and the per-doc
+    re-agg partial-aggregates on id. Two digest-keyed shuffles of
+    ~24 bytes per block at any corpus size."""
+    from pyspark.sql import Window as W
+
+    words = F.split(F.col(text_col), " ")
+    n_blocks = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(block_words))).cast("int"), F.lit(1)
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * block_words + 1, block_words), " "
+        ),
+    )
+    e = df.select(id_col, F.posexplode(blocks).alias("block_idx", "block"))
+    ranked = e.select(
+        id_col,
+        F.row_number()
+        .over(W.partitionBy(F.md5("block")).orderBy(id_col, "block_idx"))
+        .alias("rn"),
+    )
+    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        dup.cast("bigint").alias("n_dup_blocks"),
+        F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_block_frac"),
+    )

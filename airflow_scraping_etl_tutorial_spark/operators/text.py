@@ -187,3 +187,35 @@ def repetition_stats(text: Column) -> dict[str, Column]:
         "dup_word_frac": dup_word_frac,
         "dup_bigram_frac": dup_bigram_frac,
     }
+
+
+def adjacent_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int | None = None
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the counting pass
+    a BPE tokenizer trainer loops (count pairs, merge the winner,
+    repeat). Returns (pair, pair_count) ordered by (count DESC, pair),
+    optionally truncated to the top_n merge candidates.
+
+    Scale: pair explosion is map-only array work fused into the scan;
+    the count partial-aggregates map-side (cardinality ~ visible vocab
+    pairs, not corpus rows) and a top_n truncation plans as
+    TakeOrderedAndProject — per-partition partial top-k, no global
+    sort."""
+    words = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+    )
+    return out.limit(top_n) if top_n is not None else out

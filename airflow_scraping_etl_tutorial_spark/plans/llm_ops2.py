@@ -16,9 +16,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.compare import money_sum
-from ..operators.dedup import shingle_hashes, simhash_near_duplicates
+from ..operators.dedup import (
+    block_dedup_stats,
+    shingle_hashes,
+    simhash_near_duplicates,
+)
 from ..operators.similarity import as_double, kmeans_training_trajectory
-from ..operators.text import tokens
+from ..operators.text import adjacent_pair_counts, tokens
 from ..sources.tables import load
 from .llm_ops import _SQL_SHINGLES3, _sql_cosine, _sql_hex60
 from .registry import query
@@ -527,33 +531,7 @@ def q139_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on doc_id. At 100 TB this is two digest-keyed shuffles of
     ~24 bytes/block."""
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_blocks = F.greatest(
-        F.ceil(F.size(words) / F.lit(16.0)).cast("int"), F.lit(1)
-    )
-    blocks = F.transform(
-        F.sequence(F.lit(0), n_blocks - 1),
-        lambda i: F.array_join(F.slice(words, i * 16 + 1, 16), " "),
-    )
-    e = d.select("doc_id", F.posexplode(blocks).alias("block_idx", "block"))
-    ranked = e.select(
-        "doc_id",
-        F.row_number()
-        .over(W.partitionBy(F.md5("block")).orderBy("doc_id", "block_idx"))
-        .alias("rn"),
-    )
-    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
-    return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
-            dup.cast("bigint").alias("n_dup_blocks"),
-            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias(
-                "dup_block_frac"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return block_dedup_stats(d, block_words=16).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -589,23 +567,7 @@ def q140_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — no global sort. q104 measures per-doc
     repetition with the same bigrams; this is the corpus-level twin."""
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    pairs = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        d.select(F.explode(pairs).alias("pair"))
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
-        .orderBy(F.desc("pair_count"), "pair")
-        .limit(25)
-    )
+    return adjacent_pair_counts(d, top_n=25)
 
 
 # ---------------------------------------------------------------------------
