@@ -1,0 +1,409 @@
+"""LLM-ops wave 4 (STAGED for round-4 registration): pipeline
+*auditing* operators — the checks a 100 TB training-data platform runs
+continuously against itself.
+
+- table checksum reconciliation (replica drift detection without
+  moving data);
+- ANN recall audit (LSH candidate quality vs the exact answer);
+- kNN label agreement (embedding-space sanity of a labeled corpus);
+- language-ID confusion matrix (claimed vs predicted metadata drift);
+- distinctive-term report (per-source vocabulary fingerprint).
+
+This module is NOT in registry._QUERY_MODULES yet: the driver attests
+~50 catalog entries per round and round 3's budget is fully allocated
+to clearing attestation debt (see NOTES.md). The wave is value-checked
+the same way as the live catalog via
+
+    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops3 \
+        python tools/check_correctness.py /root/testdata/sf0.01
+
+and by tests/test_staged_wave4.py; round 4 promotes it by adding the
+module name to _QUERY_MODULES (one line).
+
+Reference parity: the reference repo's validation surface is the
+arity/schema check before insert (dags/Final_app.py:52-56) and the
+success/alert notification; these entries generalize that "validate
+the data plane, then alert" posture to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk_cosine, bucket_keys
+from ..operators.text import STOPWORDS, language_id, tokens
+from ..sources.tables import load
+from .llm_ops import _sql_cosine, _sql_srp_bucket
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q142 — table checksum reconciliation
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_COLS_SQL = (
+    "CONCAT_WS('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
+    "CAST({qty} AS VARCHAR), STRFTIME(l_shipdate, '%Y-%m-%d'))"
+)
+
+
+@query(
+    "q142_table_checksum_reconciliation",
+    oracle=f"""
+    WITH mk AS (SELECT MIN(l_orderkey) AS mk FROM lineitem),
+    f AS (
+      SELECT l_orderkey % 64 AS bucket,
+             CAST('0x' || SUBSTR(MD5(
+               {_CHECKSUM_COLS_SQL.format(qty="CAST(l_quantity AS BIGINT)")}
+             ), 1, 15) AS BIGINT) AS fp_p,
+             CAST('0x' || SUBSTR(MD5(
+               {_CHECKSUM_COLS_SQL.format(
+                 qty="CAST(l_quantity AS BIGINT)"
+                 " + CASE WHEN l_orderkey = mk.mk AND l_linenumber = 1"
+                 " THEN 1 ELSE 0 END")}
+             ), 1, 15) AS BIGINT) AS fp_r
+      FROM lineitem, mk
+    )
+    SELECT bucket,
+           BIT_XOR(fp_p) AS checksum_primary,
+           BIT_XOR(fp_r) AS checksum_replica,
+           CASE WHEN BIT_XOR(fp_p) = BIT_XOR(fp_r) THEN 1 ELSE 0 END AS is_match
+    FROM f GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("llm", "audit", "checksum", "reconciliation"),
+)
+def q142_table_checksum_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent bucketed table checksum — how two 100 TB
+    replicas are reconciled without moving either: each row folds to a
+    60-bit md5 fingerprint of its canonical string form, fingerprints
+    XOR-combine per key bucket (XOR is commutative/associative, so the
+    checksum is partitioning- and order-invariant and never overflows),
+    and only the 64 (bucket, checksum) pairs cross the wire. A drifted
+    replica — simulated here by perturbing one deterministic row's
+    quantity — pins the divergence to exactly one bucket, which is the
+    recursion step of a Merkle-style diff at scale.
+
+    Plan shape: map-side partial BIT_XOR, one shuffle of 64-row
+    partials, no joins on the data path (the min-orderkey scalar is a
+    broadcast of one row)."""
+    li = load(spark, sf_dir, "lineitem")
+    mk = li.agg(F.min("l_orderkey").alias("_mk"))
+    row = li.crossJoin(F.broadcast(mk))
+
+    perturbed = F.col("l_quantity").cast("bigint") + F.when(
+        (F.col("l_orderkey") == F.col("_mk")) & (F.col("l_linenumber") == 1), 1
+    ).otherwise(0)
+
+    def fingerprint(qty) -> F.Column:
+        canon = F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            qty.cast("string"),
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+        )
+        return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+
+    return (
+        row.select(
+            (F.col("l_orderkey") % 64).alias("bucket"),
+            fingerprint(F.col("l_quantity").cast("bigint")).alias("fp_p"),
+            fingerprint(perturbed).alias("fp_r"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.bit_xor("fp_p").alias("checksum_primary"),
+            F.bit_xor("fp_r").alias("checksum_replica"),
+        )
+        .select(
+            "bucket",
+            "checksum_primary",
+            "checksum_replica",
+            (F.col("checksum_primary") == F.col("checksum_replica"))
+            .cast("int")
+            .alias("is_match"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q143 — ANN recall audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q143_ann_recall_audit",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_cosine('q.embedding', 'e.embedding')} DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+      ) WHERE rnk <= 5
+    ),
+    qb AS (
+      SELECT vec_id AS query_id, {_sql_srp_bucket(8)} AS bucket
+      FROM embeddings WHERE vec_id < 20
+    ),
+    cb AS (SELECT vec_id AS neighbor_id, {_sql_srp_bucket(8)} AS bucket FROM embeddings),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM qb JOIN cb USING (bucket) WHERE query_id <> neighbor_id
+    ),
+    j AS (
+      SELECT exact.query_id,
+             CASE WHEN cand.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact LEFT JOIN cand
+        ON cand.query_id = exact.query_id AND cand.neighbor_id = exact.neighbor_id
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(hit) AS BIGINT) / COUNT(*), 6) AS recall
+    FROM j GROUP BY query_id ORDER BY query_id
+    """,
+    tags=("llm", "similarity", "ann", "audit"),
+)
+def q143_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the single-probe SRP-LSH candidate set against the
+    exact brute-force top-5 — the audit loop every production ANN index
+    runs on a sampled query set per build. Per query: how many of the
+    5 true neighbors landed in the query's LSH bucket. At 100 TB the
+    exact side runs only over the (tiny, broadcast) audit sample while
+    the candidate side reuses the index's own bucket join, so the audit
+    costs a vanishing fraction of the index build it certifies.
+
+    The oracle replays hyperplanes, buckets, the exact ranking, and the
+    recall arithmetic from the same md5-derived constants."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk_cosine(q, emb, k=5).select("query_id", "neighbor_id")
+    qb = bucket_keys(q, n_planes=8, dim=64).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cb = bucket_keys(emb, n_planes=8, dim=64).select(
+        F.col("vec_id").alias("neighbor_id"), "bucket"
+    )
+    cand = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(cand, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144 — kNN label agreement
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q144_knn_label_agreement",
+    oracle=f"""
+    WITH g AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE CAST('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR) || ':knn'), 1, 2)
+                 AS INTEGER) < 64
+    ),
+    nn AS (
+      SELECT q_label, n_label FROM (
+        SELECT g.label AS q_label, e.label AS n_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY g.vec_id
+                 ORDER BY {_sql_cosine('g.embedding', 'e.embedding')} DESC, e.vec_id
+               ) AS rnk
+        FROM g JOIN embeddings e ON e.vec_id <> g.vec_id
+      ) WHERE rnk = 1
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           ROUND(CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT)
+                 / COUNT(*), 6) AS agreement_rate
+    FROM nn GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "similarity", "audit", "labels"),
+)
+def q144_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label agreement on a deterministic ~25% md5 sample: for each
+    sampled vector, does its exact nearest neighbor (cosine, full
+    corpus) carry the same label? Per-label agreement rate is the
+    standard cheap probe for embedding quality / label noise before a
+    corpus is used for retrieval-augmented filtering. The sample gate
+    is a pure function of the key (q105's split doctrine), so the audit
+    population is stable across runs and engines; the exact scan only
+    pays |sample| x corpus, with the sample broadcast."""
+    emb = load(spark, sf_dir, "embeddings")
+    gate = F.conv(
+        F.substring(F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":knn"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    sample = emb.filter(gate < 64)
+    nn = brute_force_topk_cosine(sample, emb, k=1).select("query_id", "neighbor_id")
+    labels = emb.select("vec_id", "label")
+    agree = (
+        F.col("q_label") == F.col("n_label")
+    ).cast("int")
+    return (
+        nn.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))),
+            "query_id",
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")),
+            "neighbor_id",
+        )
+        .select(F.col("q_label").alias("label"), agree.alias("agree"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum("agree").cast("bigint").alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_agree",
+            F.round(F.col("n_agree") / F.col("n_queries"), 6).alias("agreement_rate"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q145 — language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def _sql_stopword_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"(LEN(LIST_FILTER(toks, t -> t IN ({words})))"
+        f" / LEN(toks))"
+    )
+
+
+def _sql_langid_pred() -> str:
+    """DuckDB twin of operators.text.language_id's argmax: sorted-order
+    CASE so the lexicographically first language wins score ties, 'und'
+    when no profile matched at all."""
+    langs = sorted(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    branches = "\n".join(
+        f"WHEN {best} > 0 AND s_{l} = {best} THEN '{l}'" for l in langs
+    )
+    return f"CASE {branches} ELSE 'und' END"
+
+
+@query(
+    "q145_langid_confusion",
+    oracle=f"""
+    WITH t AS (SELECT lang, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT lang,
+             {", ".join(f"{_sql_stopword_score(l)} AS s_{l}" for l in sorted(STOPWORDS))}
+      FROM t
+    )
+    SELECT lang AS claimed_lang,
+           {_sql_langid_pred()} AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "text", "langid", "audit"),
+)
+def q145_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata drift audit: confusion matrix of the corpus's
+    CLAIMED language column against the heuristic stopword classifier
+    (operators/text.py::language_id). At 100 TB this is the standing
+    data-quality monitor for upstream metadata rot — pure map work plus
+    one low-cardinality (|langs|^2) aggregation. The oracle replays
+    every per-language score, the tie-broken argmax, and the matrix
+    counts."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        language_id(d)
+        .groupBy(F.col("claimed_lang"), F.col("predicted_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("claimed_lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q146 — per-source distinctive terms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q146_distinctive_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    idf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    r AS (
+      SELECT tf.source, tf.token, tf.tf, idf.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.source
+               ORDER BY idf.df ASC, tf.tf DESC, tf.token
+             ) AS rnk
+      FROM tf JOIN idf USING (token)
+    )
+    SELECT source, token, tf, df, rnk FROM r WHERE rnk <= 3
+    ORDER BY source, rnk
+    """,
+    tags=("llm", "text", "tfidf", "report"),
+)
+def q146_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: the 3 tokens most specific to
+    each source, ranked by (document-source frequency ASC, in-source
+    term frequency DESC, token) — a tf-idf report expressed in pure
+    integer ordering so the ranking is bit-free and engine-exact (no
+    log() in the sort key). Used to fingerprint what each crawl source
+    uniquely contributes before mixture weighting (q101/q125).
+
+    Plan: explode -> two hash aggregations (token x source, then
+    token) -> broadcast-sized df join -> per-source top-k window. Text
+    itself never shuffles; only (source, token) pairs do."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = W.partitionBy("source").orderBy(
+        F.asc("df"), F.desc("tf"), F.asc("token")
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "token", "tf", "df", "rnk")
+        .orderBy("source", "rnk")
+    )

@@ -17,6 +17,7 @@ value-hashed):
 from __future__ import annotations
 
 import importlib
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -101,8 +102,18 @@ def _priority(name: str) -> tuple[int, int]:
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all catalog modules and return the full registry,
-    driver-priority ordered (see _ROUND1_GREEN)."""
+    driver-priority ordered (see _ROUND1_GREEN).
+
+    SPARK_GRAFT_EXTRA_MODULES (comma-separated module paths) lets the
+    local tooling check STAGED catalog modules that are deliberately
+    not yet in _QUERY_MODULES: the driver attests ~50 entries per
+    round, so new waves are held out of the official registry until
+    the round's attestation debt clears, while still being value-
+    checked by tools/check_correctness.py and pytest in the meantime.
+    """
     for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    for mod in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_MODULES", "").split(",")):
         importlib.import_module(mod)
     order = {n: i for i, n in enumerate(_REGISTRY)}
     names = sorted(_REGISTRY, key=lambda n: (_priority(n), order[n]))

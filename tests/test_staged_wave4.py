@@ -1,0 +1,75 @@
+"""Staged wave-4 catalog entries (plans/llm_ops3.py): value-level
+oracle comparison at sf0.001 — the same gate tools/check_correctness.py
+applies to the live catalog, run in pytest because the module is not in
+registry._QUERY_MODULES until round 4 (driver-budget staging; see the
+module docstring)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from airflow_scraping_etl_tutorial_spark.plans import llm_ops3  # noqa: F401  (registers)
+from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+STAGED = [
+    "q142_table_checksum_reconciliation",
+    "q143_ann_recall_audit",
+    "q144_knn_label_agreement",
+    "q145_langid_confusion",
+    "q146_distinctive_terms",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def nv(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else v
+        return str(v)
+
+    out = [tuple(nv(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_query_matches_oracle(spark, duck, name):
+    spec = _REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    srows = sdf.collect()
+    res = duck.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) > 0, "staged queries must be non-empty at sf0.001"
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert _norm(srows, sdf.columns) == _norm(orows, ocols)
+
+
+def test_staged_wave_not_registered_in_driver_contract(monkeypatch):
+    """The round-3 driver must see exactly the live catalog: staged
+    modules only join via SPARK_GRAFT_EXTRA_MODULES."""
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
+    from airflow_scraping_etl_tutorial_spark.plans.registry import _QUERY_MODULES
+
+    assert "llm_ops3" not in ",".join(_QUERY_MODULES)
