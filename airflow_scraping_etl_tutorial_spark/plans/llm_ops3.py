@@ -184,17 +184,20 @@ def q143_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk_cosine(q, emb, k=5).select("query_id", "neighbor_id")
-    qb = bucket_keys(q, n_planes=8, dim=64).select(
+    # One bucket_keys pass serves both join sides: the query side is a
+    # filter of the corpus side (the index's own keys ARE the audit's
+    # keys). Single-probe gives each vector exactly one bucket, so the
+    # bucket join cannot duplicate a (query, neighbor) pair — no
+    # distinct needed (multi-probe would need one; see lsh_topk_cosine).
+    keyed = bucket_keys(emb, n_planes=8, dim=64)
+    qb = keyed.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "bucket"
     )
-    cb = bucket_keys(emb, n_planes=8, dim=64).select(
-        F.col("vec_id").alias("neighbor_id"), "bucket"
-    )
+    cb = keyed.select(F.col("vec_id").alias("neighbor_id"), "bucket")
     cand = (
         qb.join(cb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
         .withColumn("_hit", F.lit(1))
     )
     return (
