@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.scd import merge_upsert, scd2_apply
 from ..operators.similarity import brute_force_topk_cosine, bucket_keys
 from ..operators.text import STOPWORDS, language_id, tokens
 from ..sources.tables import load
@@ -409,4 +410,156 @@ def q146_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("source", "token", "tf", "df", "rnk")
         .orderBy("source", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q147 — SCD2 version history (operators/scd.py joins the attested surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q147_scd2_version_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS snap_date,
+             CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    snap AS (SELECT user_id, snap_date, k // 25 AS tier FROM ev WHERE rn = 1),
+    ver AS (
+      SELECT user_id, snap_date, tier,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY snap_date) AS seq,
+             LAG(tier) OVER (PARTITION BY user_id ORDER BY snap_date) AS prev_tier
+      FROM snap
+    ),
+    keep AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY snap_date DESC)
+               AS rdesc
+      FROM ver WHERE seq = 1 OR tier IS DISTINCT FROM prev_tier
+    ),
+    cnt AS (
+      SELECT user_id, COUNT(*) AS n_versions,
+             SUM(CASE WHEN rdesc = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM keep GROUP BY 1
+    )
+    SELECT CAST(n_versions AS BIGINT) AS n_versions,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_cur) AS BIGINT) AS n_current
+    FROM cnt GROUP BY 1 ORDER BY 1
+    """,
+    tags=("scd", "dimension", "history"),
+)
+def q147_scd2_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD built by operators/scd.py::scd2_apply from the event
+    stream: each user's last event per day is a dimension snapshot
+    (attribute = activity tier, an integer bucket of the JSON `k`
+    prop), and scd2_apply collapses unchanged snapshots into validity
+    intervals. The summary histograms users by version count and
+    cross-checks the interval bookkeeping (exactly one open version —
+    effective_to IS NULL — per user). Reference parity: the daily
+    idempotent load (dags/Final_app.py:58-66) is the degenerate
+    one-version form of this history.
+
+    Scale: snapshots and version collapse are one shuffle each on
+    user_id; the history append is the dimension-scale rewrite
+    documented in operators/scd.py."""
+    e = load(spark, sf_dir, "events")
+    w_last = W.partitionBy("user_id", "snap_date").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    snap = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("snap_date"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "snap_date", F.expr("k div 25").alias("tier"))
+    )
+    hist = scd2_apply(
+        None, snap, key="user_id", effective_ts="snap_date", tracked_cols=("tier",)
+    )
+    per_user = hist.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("is_current").cast("int")).alias("n_cur"),
+    )
+    return (
+        per_user.groupBy("n_versions")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_cur").cast("bigint").alias("n_current"),
+        )
+        .select(F.col("n_versions").cast("bigint").alias("n_versions"), "n_users", "n_current")
+        .orderBy("n_versions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — MERGE upsert audit (operators/scd.py::merge_upsert)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_merge_upsert_audit",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    ),
+    m AS (
+      SELECT c.c_nationkey,
+             CASE WHEN u.c_custkey IS NOT NULL
+                  THEN c.c_acctbal + 100.0 ELSE c.c_acctbal END AS bal,
+             CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS upd
+      FROM customer c LEFT JOIN u USING (c_custkey)
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(upd) AS BIGINT) AS n_updated,
+           CAST(ROUND(SUM(CAST(bal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+    tags=("scd", "merge", "upsert"),
+)
+def q148_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (operators/scd.py::merge_upsert — anti-join
+    + union, the Delta-free upsert): apply a deterministic batch of
+    updates (+100.00 balance for every customer with a finished order)
+    to the customer dimension, then summarize the merged state per
+    nation with updated-row accounting. The oracle expresses the same
+    merge as a LEFT JOIN + CASE, so update-wins/insert-survives
+    semantics are value-checked, with the money sum on the decimal-
+    exact path.
+
+    Scale: one shuffle on the business key for the anti-join; the
+    update batch is fact-derived but collapses to distinct keys before
+    joining."""
+    cust = load(spark, sf_dir, "customer")
+    upd_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    updates = cust.join(upd_keys, "c_custkey", "left_semi").withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    merged = merge_upsert(cust, updates, "c_custkey")
+    return (
+        merged.join(upd_keys.withColumn("_u", F.lit(1)), "c_custkey", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.coalesce(F.col("_u"), F.lit(0))).cast("bigint").alias("n_updated"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
     )

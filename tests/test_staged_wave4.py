@@ -23,6 +23,8 @@ STAGED = [
     "q144_knn_label_agreement",
     "q145_langid_confusion",
     "q146_distinctive_terms",
+    "q147_scd2_version_history",
+    "q148_merge_upsert_audit",
 ]
 
 
