@@ -563,3 +563,216 @@ def q148_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — referential-integrity audit
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = (
+    # (relationship label, child table, fk col, parent table, pk col)
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _sql_fk_edge(label: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{label}' AS relationship,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+           CAST(SUM(CASE WHEN m IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_orphan_rows
+    FROM (SELECT {fk} AS k, COUNT(*) AS c FROM {child} GROUP BY 1) t
+    LEFT JOIN (SELECT DISTINCT {pk} AS k2, 1 AS m FROM {parent}) p ON t.k = p.k2
+    """
+
+
+@query(
+    "q149_referential_integrity_audit",
+    oracle="\nUNION ALL\n".join(_sql_fk_edge(*e) for e in _FK_EDGES)
+    + "\nORDER BY relationship",
+    tags=("audit", "quality", "join", "anti"),
+)
+def q149_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over every foreign-key edge of the
+    star schema: per edge, total child rows, distinct FK values, and
+    orphan keys/rows (FK values with no parent). The generalized form
+    of the reference's pre-insert validation (dags/Final_app.py:52-56)
+    — run as a standing audit before a corpus/warehouse promotion.
+
+    Scale: each edge aggregates the child to DISTINCT keys map-side
+    FIRST (the shuffle carries (key, count), never child rows), then
+    left-joins the parent's key set; parent dimension sides broadcast.
+    One row out per edge."""
+    frames = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        per_key = (
+            load(spark, sf_dir, child)
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        flagged = per_key.join(
+            load(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("m", F.lit(1)),
+            "k",
+            "left",
+        )
+        frames.append(
+            flagged.agg(
+                F.lit(label).alias("relationship"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+                F.sum(F.when(F.col("m").isNull(), F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphan_rows"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("relationship")
+
+
+# ---------------------------------------------------------------------------
+# q150 — dataset profile
+# ---------------------------------------------------------------------------
+
+_PROFILE_KEYS = (
+    ("customer", ("c_custkey",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+    ("events", ("event_id",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("nation", ("n_nationkey",)),
+    ("orders", ("o_orderkey",)),
+    ("part", ("p_partkey",)),
+    ("region", ("r_regionkey",)),
+    ("supplier", ("s_suppkey",)),
+)
+
+
+def _sql_profile(table: str, keys: tuple[str, ...]) -> str:
+    key_list = ", ".join(keys)
+    return f"""
+    SELECT '{table}' AS table_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT DISTINCT {key_list} FROM {table})) AS n_distinct_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {table})
+             - (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT DISTINCT {key_list} FROM {table})) AS n_dup_rows
+    """
+
+
+@query(
+    "q150_dataset_profile",
+    oracle="\nUNION ALL\n".join(_sql_profile(t, k) for t, k in _PROFILE_KEYS)
+    + "\nORDER BY table_name",
+    tags=("audit", "profile", "quality"),
+)
+def q150_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profile across every fixture table: row count,
+    distinct declared-key count, and duplicate-key row count — the
+    first report any ingest job emits before a snapshot is promoted
+    (primary-key uniqueness is the contract the reference's idempotent
+    daily load enforces per-day; this audits it corpus-wide).
+
+    Scale: per table one map-side-combined distinct aggregation on the
+    key; nothing but (table, 3 counters) leaves the executors."""
+    frames = []
+    for table, keys in _PROFILE_KEYS:
+        t = load(spark, sf_dir, table)
+        frames.append(
+            t.agg(
+                F.lit(table).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(*[F.col(k) for k in keys])
+                .cast("bigint")
+                .alias("n_distinct_keys"),
+                (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+                .cast("bigint")
+                .alias("n_dup_rows"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# q151 — embedding label-separation audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q151_label_centroid_separation",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS s
+      FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i) r
+      GROUP BY 1, 2
+    ),
+    vec AS (SELECT label, LIST(s ORDER BY pos) AS v FROM comp GROUP BY 1),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             {_sql_cosine('a.v', 'b.v')} AS cos_raw
+      FROM vec a JOIN vec b ON a.label < b.label
+    )
+    SELECT label_a, label_b, ROUND(cos_raw, 6) AS centroid_cosine
+    FROM pairs ORDER BY label_a, label_b
+    """,
+    tags=("llm", "similarity", "audit", "labels"),
+)
+def q151_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separation audit: cosine between every pair of per-label
+    centroid directions. Low separation predicts poor retrieval /
+    classification before any model is trained. Centroids are computed
+    as decimal-exact component SUMS (cosine is scale-invariant, so the
+    un-divided sum ranks identically to the mean and avoids a
+    cross-engine division) via the posexplode + (label, position)
+    groupBy pattern of operators/similarity.py::_lloyd_step — the
+    expression tree stays O(1) in dim, and |labels| x dim tiny partials
+    are all that shuffle.
+
+    The oracle replays the component sums, the position-ordered
+    reassembly, and the left-associated dot-product fold
+    bit-for-bit."""
+    from ..operators.similarity import as_double, cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("_pos", "_val")
+    )
+    sums = comp.groupBy("label", "_pos").agg(
+        F.sum(F.col("_val").cast("decimal(18,6)")).cast("double").alias("_s")
+    )
+    vec = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_s"))), lambda s: s["_s"]
+        ).alias("v")
+    )
+    a = vec.select(F.col("label").alias("label_a"), F.col("v").alias("va"))
+    b = vec.select(F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

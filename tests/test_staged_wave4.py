@@ -25,6 +25,9 @@ STAGED = [
     "q146_distinctive_terms",
     "q147_scd2_version_history",
     "q148_merge_upsert_audit",
+    "q149_referential_integrity_audit",
+    "q150_dataset_profile",
+    "q151_label_centroid_separation",
 ]
 
 
