@@ -222,3 +222,19 @@ def purchases_within_hour_of_signup(events: DataFrame) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("signup_ts"))
         & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", purchases.user_id, "purchase_ts", "signup_ts")
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (small) batch
+    dimension table. The static side is planned per micro-batch as an
+    ordinary broadcast hash join — no state, no watermark required, and
+    a dimension refresh is picked up by the next micro-batch because
+    the batch plan re-resolves the static source each trigger. This is
+    the streaming twin of the reference's read-enrich pattern and the
+    standard shape for attaching account/segment metadata to a
+    clickstream at 100 TB/day (the stream never shuffles; the dim
+    broadcasts).
+
+    `dim` must carry a `user_id` join key column.
+    """
+    return events.join(F.broadcast(dim), "user_id", "left")

@@ -253,3 +253,32 @@ def test_kafka_source_gated_with_clear_error(spark):
         stream_from_kafka(spark, "localhost:9092", "events").writeStream.format(
             "noop"
         ).start()
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    from airflow_scraping_etl_tutorial_spark.streaming.events import (
+        enrich_with_dimension,
+    )
+
+    dim = load(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey", "c_mktsegment"
+    )
+    stream = stream_from_dir(spark, events_dir)
+    got = _run_to_memory(
+        spark,
+        enrich_with_dimension(stream, dim).select(
+            "event_id", "user_id", "c_nationkey", "c_mktsegment"
+        ),
+        "enriched",
+        "append",
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "c_nationkey", "c_mktsegment")
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    batch_rows = sorted(map(tuple, batch.collect()))
+    assert got_rows == batch_rows
+    # every event found its dimension row (fixture keys are aligned)
+    assert all(r[2] is not None for r in got_rows)
