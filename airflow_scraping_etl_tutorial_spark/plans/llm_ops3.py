@@ -776,3 +776,188 @@ def q151_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — numeric correlation matrix
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = tuple(
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+)
+
+
+def _sql_corr_pair(x: str, y: str) -> str:
+    """Pearson r from the shared power-sum CTE — the q109 doctrine:
+    decimal-exact sums cast to double once, then an identical IEEE
+    expression chain on both engines."""
+    return (
+        f"SELECT '{x}~{y}' AS pair,\n"
+        f"       CAST(n AS BIGINT) AS n,\n"
+        f"       ROUND((n * sxy_{x}_{y} - s_{x} * s_{y})\n"
+        f"             / (SQRT(n * ss_{x} - s_{x} * s_{x})\n"
+        f"                * SQRT(n * ss_{y} - s_{y} * s_{y})), 6) AS pearson_r\n"
+        f"FROM m"
+    )
+
+
+@query(
+    "q152_numeric_correlation_matrix",
+    oracle=f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             {", ".join(
+                 f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s_{c}, "
+                 f"CAST(SUM(CAST({c} * {c} AS DECIMAL(24,4))) AS DOUBLE) AS ss_{c}"
+                 for c in _CORR_COLS
+             )},
+             {", ".join(
+                 f"CAST(SUM(CAST({x} * {y} AS DECIMAL(24,4))) AS DOUBLE)"
+                 f" AS sxy_{x}_{y}"
+                 for x, y in _CORR_PAIRS
+             )}
+      FROM lineitem
+    )
+    {" UNION ALL ".join(_sql_corr_pair(x, y) for x, y in _CORR_PAIRS)}
+    ORDER BY pair
+    """,
+    tags=("stats", "correlation", "profile"),
+)
+def q152_numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem numeric columns in
+    ONE pass: a single map-side-combined aggregation produces every
+    power sum (n, Σx, Σx², Σxy for all 6 pairs), and the 6 output rows
+    are unpivoted from that one aggregate row — the feature-screening
+    profile a training pipeline runs before deriving model inputs,
+    with no second scan and nothing but one 15-number row crossing the
+    driver boundary. Sums ride the decimal-exact path (q109 doctrine)
+    so r is the same double on any partitioning or engine."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(18,6)")).cast("double").alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(24,4)"))
+            .cast("double")
+            .alias(f"ss_{c}")
+        )
+    for x, y in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(x) * F.col(y)).cast("decimal(24,4)"))
+            .cast("double")
+            .alias(f"sxy_{x}_{y}")
+        )
+    m = li.agg(*aggs)
+
+    def r_expr(x: str, y: str):
+        n = F.col("n")
+        return (n * F.col(f"sxy_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")) / (
+            F.sqrt(n * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+            * F.sqrt(n * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+        )
+
+    # Unpivot the single aggregate row via explode — a union of per-pair
+    # selects would re-run the whole aggregation once per pair.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(f"{x}~{y}").alias("pair"),
+                F.round(r_expr(x, y), 6).alias("pearson_r"),
+            )
+            for x, y in _CORR_PAIRS
+        ]
+    )
+    return (
+        m.select(F.col("n").cast("bigint").alias("n"), F.explode(pairs).alias("p"))
+        .select("p.pair", "n", "p.pearson_r")
+        .orderBy("pair")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 — RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q153_rfm_segmentation",
+    oracle="""
+    WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+    rfm AS (
+      SELECT o.o_custkey,
+             CAST(DATE_DIFF('day', MAX(CAST(o.o_orderdate AS DATE)), ref.ref_date)
+                  AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS monetary
+      FROM orders o, ref GROUP BY o.o_custkey, ref.ref_date
+    ),
+    scored AS (
+      SELECT CONCAT(
+               CASE WHEN recency_days <= 90 THEN '3' WHEN recency_days <= 365
+                    THEN '2' ELSE '1' END,
+               CASE WHEN frequency >= 20 THEN '3' WHEN frequency >= 10
+                    THEN '2' ELSE '1' END,
+               CASE WHEN monetary >= 3000000 THEN '3' WHEN monetary >= 1000000
+                    THEN '2' ELSE '1' END) AS segment,
+             monetary
+      FROM rfm
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(monetary), 2) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    tags=("warehouse", "segmentation", "agg"),
+)
+def q153_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    warehouse-to-ML feature rollup: per customer, days since last
+    order relative to the corpus's own max date (deterministic, no
+    wall clock), order count, and decimal-exact spend; fixed integer/
+    decimal thresholds map each to a 1-3 score and segments aggregate.
+    Everything is integer or decimal arithmetic — no float enters a
+    comparison, so segment membership is engine-exact.
+
+    Scale: one shuffle on o_custkey; the reference date is a broadcast
+    one-row aggregate; segment rollup is low-cardinality (27 max)."""
+    o = load(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    rfm = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey", "ref_date")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("monetary"),
+        )
+        .select(
+            F.datediff("ref_date", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    seg = F.concat(
+        F.when(F.col("recency_days") <= 90, "3")
+        .when(F.col("recency_days") <= 365, "2")
+        .otherwise("1"),
+        F.when(F.col("frequency") >= 20, "3")
+        .when(F.col("frequency") >= 10, "2")
+        .otherwise("1"),
+        F.when(F.col("monetary") >= 3000000, "3")
+        .when(F.col("monetary") >= 1000000, "2")
+        .otherwise("1"),
+    )
+    return (
+        rfm.select(seg.alias("segment"), "monetary")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).cast("double").alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )

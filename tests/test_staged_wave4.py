@@ -28,6 +28,8 @@ STAGED = [
     "q149_referential_integrity_audit",
     "q150_dataset_profile",
     "q151_label_centroid_separation",
+    "q152_numeric_correlation_matrix",
+    "q153_rfm_segmentation",
 ]
 
 
