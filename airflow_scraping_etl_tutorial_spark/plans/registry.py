@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops2",
     "airflow_scraping_etl_tutorial_spark.plans.relational4",
     "airflow_scraping_etl_tutorial_spark.plans.streaming_queries",
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops3",
 )
 
 
@@ -68,33 +69,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # CORRECTNESS_r*.json rows (latest attestation wins; the driver attests
 # ~50 queries per round, first-come-first-served over queries() order).
 #
-# _ATTESTED_GREEN below is the r01∪r02 green union (96 entries) MINUS
-# q85/q86, whose oracles changed in round 3 (ADVICE fixes) and so need
-# re-attestation. Tiers for the round-3 run:
-#   tier 0 — known debt, in fixed order: the r02 red (q53), the 17
-#            never-attested entries (q94-q98, q100-q105, q109-q114),
-#            then the two changed-oracle greens (q85, q86);
-#   tier 1 — anything else without a green row (i.e. new round-3
-#            entries), registration order;
-#   tier 2 — attested greens (registration order).
-# Tier 0 + tier 1 must stay within the ~50-query driver budget.
-_ATTESTED_GREEN = frozenset(
-    f"q{i:02d}"
-    for i in range(1, 115)
-    if i not in (53, 85, 86, *range(94, 99), *range(100, 106), *range(109, 115))
-)
-_TIER0_ORDER = {
-    f"q{i}": rank
-    for rank, i in enumerate(
-        [53, *range(94, 99), *range(100, 106), *range(109, 115), 85, 86]
-    )
-}
+# After round 3 every registered entry q01-q141 is attested green
+# (r01∪r02∪r03 union, latest wins: 141/141, zero reds, zero err).
+# Tiers for the round-4 run:
+#   tier 1 — never-attested entries: the promoted wave 4 (q142-q153,
+#            plans/llm_ops3.py) plus any round-4 additions,
+#            registration order;
+#   tier 2 — attested greens q01-q141 (registration order).
+# Tier 1 must stay within the ~50-query driver budget.
+_ATTESTED_GREEN = frozenset(f"q{i:02d}" for i in range(1, 142))
 
 
 def _priority(name: str) -> tuple[int, int]:
     key = name.split("_", 1)[0]
-    if key in _TIER0_ORDER:
-        return (0, _TIER0_ORDER[key])
     if key.lstrip("q").isdigit() and f"q{int(key[1:]):02d}" in _ATTESTED_GREEN:
         return (2, 0)
     return (1, 0)
