@@ -38,8 +38,9 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     Queries must be correct even when the CALLER built the session (the
     driver harness does) — session.py's builder defaults only cover our
     own entry points. All three are runtime-settable SQLConfs:
-    - nanosAsLong: the events fixture is parquet TIMESTAMP(NANOS),
-      unreadable by Spark otherwise;
+    - nanosAsLong: some fixture drops land events.ts as parquet
+      TIMESTAMP(NANOS), unreadable by Spark otherwise (harmless when
+      the fixture is µs-typed — load() normalizes either way);
     - session timezone UTC: timestamp formatting must agree with the
       UTC-naive DuckDB oracle;
     - AQE on (default since 3.2, pinned anyway — plans are designed
@@ -53,19 +54,34 @@ def ensure_session_defaults(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table as a DataFrame.
 
-    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    only as a raw long (nanosAsLong, pinned by ensure_session_defaults).
-    Convert ns -> µs with exact integer division (`div`, not `/` — a
-    double division loses precision above 2^53) and restore
-    TimestampType; the fixture's timestamps carry only µs precision, so
-    the truncation is lossless.
+    Contract: events.ts is ALWAYS TimestampType (an instant) after
+    load(), regardless of the on-disk representation. Fixture drops
+    have landed ts three different ways across rounds:
+
+    - parquet TIMESTAMP(NANOS): Spark reads it only as a raw long
+      (nanosAsLong, pinned by ensure_session_defaults). Convert
+      ns -> µs with exact integer division (`div`, not `/` — a double
+      division loses precision above 2^53); the values carry only µs
+      precision so truncation is lossless.
+    - parquet timestamp[us] without timezone: Spark 4 reads this as
+      TIMESTAMP_NTZ, which instant functions (unix_micros,
+      window, from_utc_timestamp) reject. Cast to TimestampType —
+      the session timezone is pinned UTC (ensure_session_defaults),
+      so the wall-clock values are reinterpreted as UTC instants,
+      identical to what the UTC-naive DuckDB oracle computes.
+    - parquet timestamp[us] with timezone: already TimestampType;
+      the cast is a no-op.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_defaults(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype is not None and ts_dtype != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
