@@ -1,0 +1,667 @@
+"""LLM-ops wave 5: corpus curation DECISIONS — the operators that turn
+the engine's measurements (near-dup pairs, cluster assignments, quality
+scores) into the keep/drop/weight actions a 100 TB training-data
+pipeline actually executes, plus the audit rollups that monitor those
+decisions per source.
+
+- SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cluster
+  the embedding space, drop near-identical vectors within each cluster;
+- dedup keep-list materialization: per-document keep/drop verdicts from
+  MinHash pair evidence — the artifact a pipeline writes back;
+- quality / repetition / contamination drift per source: the per-feed
+  dashboards that catch a bad crawl before it trains;
+- LSH precision + duplicate-graph shape audits (candidate efficiency,
+  degree histogram, cross-source leakage);
+- deterministic stratified sampling and embedding-space profiling.
+
+Reference parity: the reference validates each daily batch before
+insert and alerts on failure (dags/Final_app.py:52-56, 79-149); these
+entries generalize that validate-then-act posture from one row per day
+to corpus scale, in the same declarative DataFrame style as waves 1-4.
+
+Every entry follows the registry doctrine: aliased columns identical on
+both sides, doubles rounded at the boundary, means via decimal-exact
+sums (functions/compare.py), and md5-derived determinism for anything
+sampled — no RNG, no engine-private hashing on the compare path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_near_duplicates, shingle_hashes
+from ..operators.similarity import as_double, cosine, kmeans_centroids
+from ..operators.text import en_stopword_ratio, tokens
+from ..sources.tables import load
+from .llm_ops import _sql_cosine, _sql_minhash_pairs
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q154 — SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _sql_lloyd1_vec_cte(n_centroids: int, dim: int = 64) -> str:
+    """cent0 -> a1 -> m1 CTE chain: one deterministic Lloyd iteration
+    (md5-ordered init, argmax-cosine assignment, decimal-exact component
+    means) with the trained centroids reassembled as a LIST so callers
+    can score against them with _sql_cosine. DuckDB twin of
+    operators.similarity.kmeans_centroids(n_iterations=1) via the
+    q151 comp/vec reassembly pattern."""
+    return f"""
+    cent0 AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),
+    a1 AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.embedding', 'c.ce')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent0 c
+    ),
+    m1comp AS (
+      SELECT a.cid, i AS pos,
+             CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*) AS mean_i
+      FROM a1 a JOIN embeddings e ON e.vec_id = a.vec_id,
+           (SELECT UNNEST(RANGE(1, {dim + 1})) AS i) r
+      WHERE a.rn = 1
+      GROUP BY 1, 2
+    ),
+    m1 AS (SELECT cid, LIST(mean_i ORDER BY pos) AS ce FROM m1comp GROUP BY 1)
+"""
+
+
+@query(
+    "q154_semdedup_semantic_dedup",
+    oracle=f"""
+    WITH {_sql_lloyd1_vec_cte(8)},
+    assign AS (
+      SELECT e.vec_id, m.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.embedding', 'm.ce')} DESC, m.cid) AS rn
+      FROM embeddings e CROSS JOIN m1 m
+    ),
+    cells AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE ROUND({_sql_cosine('ea.embedding', 'eb.embedding')}, 6) >= 0.3
+    )
+    SELECT c.cid AS centroid_id,
+           COUNT(*) AS n_vecs,
+           COUNT(d.vec_id) AS n_dropped,
+           ROUND(CAST(COUNT(d.vec_id) AS DOUBLE) / COUNT(*), 6) AS drop_rate
+    FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+    GROUP BY c.cid ORDER BY centroid_id
+    """,
+    tags=("llm", "dedup", "semantic", "kmeans", "semdedup"),
+)
+def q154_semdedup_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    deterministic k-means (1 Lloyd iteration, md5-ordered init), then
+    inside each cluster drop every vector that has a LOWER-id neighbor
+    with cosine >= tau — keep-first-occurrence, the deterministic form
+    of the paper's one-per-epsilon-ball rule. Pairwise cosine runs only
+    WITHIN clusters, which is the whole point at 100 TB: the quadratic
+    term is bounded per cell (cap cell size with the q68 hot-bucket
+    doctrine when a cluster collapses), and the clustering stage is one
+    broadcast of 8 centroids + a map-side argmax.
+
+    Returns per-cluster dedup pressure: (centroid_id, n_vecs,
+    n_dropped, drop_rate) — the report that decides which shards
+    actually shrink. tau=0.3 is fixture-calibrated (max pairwise cosine
+    ~0.46, same constant as q74's embedding near-dup)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=8, n_iterations=1)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("_e"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "_e",
+        "centroid_id",
+        cosine(F.col("_e"), F.col("c_emb")).alias("_cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("_cos"), F.asc("centroid_id"))
+    cells = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "_e", F.col("centroid_id").alias("cid"))
+    )
+    a = cells.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("_e").alias("ea")
+    )
+    b = cells.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("_e").alias("eb")
+    )
+    dropped = (
+        a.join(b, ["cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= 0.3)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cid").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("_dropped").alias("n_dropped"),
+            F.round(
+                F.count("_dropped").cast("double") / F.count(F.lit(1)), 6
+            ).alias("drop_rate"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155 — dedup keep-list materialization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q155_dedup_keep_list",
+    oracle=f"""
+    WITH {_sql_minhash_pairs(0.5)},
+    drops AS (SELECT DISTINCT doc_id_b AS doc_id FROM pairs)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(x.doc_id) AS n_dropped,
+           COUNT(*) - COUNT(x.doc_id) AS n_kept,
+           COALESCE(SUM(LEN(STRING_SPLIT(d.text, ' ')))
+                    FILTER (x.doc_id IS NOT NULL), 0) AS tokens_dropped,
+           COALESCE(SUM(LEN(STRING_SPLIT(d.text, ' ')))
+                    FILTER (x.doc_id IS NULL), 0) AS tokens_kept
+    FROM documents d LEFT JOIN drops x ON x.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("llm", "dedup", "minhash", "keep-list"),
+)
+def q155_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list materialization — the artifact a dedup pass actually
+    writes back: every document voted keep or drop from MinHash+LSH
+    pair evidence (drop the higher id of each verified pair; keep-first
+    is deterministic and order-free, the same rule large pipelines use
+    so reruns agree). The pair set is q68's banding pipeline untouched;
+    this entry turns pairs into per-source keep/drop/token accounting —
+    what the mixture planner (q101/q125) consumes next.
+
+    Scale: the keep-list join is digest-keyed (doc_id only); text
+    stays put and is token-counted map-side before the per-source
+    aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    drops = (
+        pairs.select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    flagged = docs.join(drops, "doc_id", "left").select(
+        "source",
+        F.col("_drop"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("_tok"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_drop").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("_drop")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("_drop").isNotNull(), F.col("_tok"))), F.lit(0)
+            ).alias("tokens_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("_drop").isNull(), F.col("_tok"))), F.lit(0)
+            ).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156 — quality-score drift per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_quality_drift_by_source",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                    x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is',
+                               'it', 'that', 'for'))) AS DOUBLE)
+                  / LEN(STRING_SPLIT(text, ' ')), 6) AS DECIMAL(10,6)) AS r6,
+             CASE WHEN LEN(STRING_SPLIT(text, ' ')) BETWEEN 10 AND 1000
+                  THEN 1 ELSE 0 END AS ok
+      FROM documents
+    ),
+    src AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(r6) AS s, SUM(ok) AS n_ok
+      FROM t GROUP BY source
+    ),
+    corpus AS (SELECT SUM(s) AS cs, SUM(n_docs) AS cn FROM src)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(CAST(s AS DOUBLE) / n_docs, 6) AS mean_stop_ratio,
+           ROUND(CAST(n_ok AS DOUBLE) / n_docs, 6) AS frac_length_ok,
+           ROUND(CAST(s AS DOUBLE) / n_docs
+                 - CAST(c.cs AS DOUBLE) / c.cn, 6) AS drift_vs_corpus
+    FROM src CROSS JOIN corpus c ORDER BY source
+    """,
+    tags=("llm", "quality", "drift", "audit"),
+)
+def q156_quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality drift per source: mean stopword ratio and length-gate
+    pass rate per feed, each with its signed deviation from the corpus
+    mean — the per-crawl dashboard that catches a degraded source
+    before its documents train. Per-doc ratios are rounded then summed
+    as DECIMAL so every mean is order-independent (q109 doctrine); the
+    corpus row derives from the SAME per-source partials (decimal sums
+    are exactly associative), so drift is bit-stable on any
+    partitioning. One scan, two tiny aggregates, a broadcast of one
+    corpus row."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.round(en_stopword_ratio(F.col("text")), 6).cast("decimal(10,6)").alias("r6"),
+        F.size(tokens(F.col("text"))).between(10, 1000).cast("int").alias("ok"),
+    )
+    src = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("r6").alias("s"),
+        F.sum("ok").alias("n_ok"),
+    )
+    corpus = src.agg(F.sum("s").alias("cs"), F.sum("n_docs").alias("cn"))
+    return (
+        src.crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.col("s").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_stop_ratio"
+            ),
+            F.round(F.col("n_ok").cast("double") / F.col("n_docs"), 6).alias(
+                "frac_length_ok"
+            ),
+            F.round(
+                F.col("s").cast("double") / F.col("n_docs")
+                - F.col("cs").cast("double") / F.col("cn"),
+                6,
+            ).alias("drift_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157 — token-count magnitude histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q157_token_magnitude_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT lang, LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents
+    )
+    SELECT lang,
+           LENGTH(CAST(n_tok AS VARCHAR)) AS magnitude,
+           COUNT(*) AS n_docs,
+           MIN(n_tok) AS min_tokens,
+           MAX(n_tok) AS max_tokens
+    FROM t GROUP BY lang, magnitude ORDER BY lang, magnitude
+    """,
+    tags=("llm", "text", "histogram", "profile"),
+)
+def q157_token_magnitude_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per language in order-of-magnitude
+    buckets (decimal-digit count of the token count — an integer-exact
+    log10 both engines compute identically, no float log). The shape
+    report a curation run reads before setting min/max length gates:
+    one map-side bucket assignment, one tiny aggregate; text never
+    shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("lang", F.size(tokens(F.col("text"))).alias("n_tok"))
+    return (
+        t.groupBy(
+            "lang", F.length(F.col("n_tok").cast("string")).alias("magnitude")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+        .orderBy("lang", "magnitude")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — shingle novelty per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q158_shingle_novelty_by_source",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, CAST('0x' || SUBSTR(MD5(s.s), 1, 15) AS BIGINT) AS h
+      FROM sh, UNNEST(shingles) AS s(s)
+    ),
+    first_seen AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h),
+    perdoc AS (
+      SELECT ex.doc_id,
+             CAST(ROUND(
+               CAST(SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*), 6) AS DECIMAL(10,6)) AS novelty
+      FROM ex JOIN first_seen f ON f.h = ex.h
+      GROUP BY ex.doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(p.novelty) AS DOUBLE) / COUNT(*), 6)
+             AS mean_novelty
+    FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("llm", "dedup", "novelty", "profile"),
+)
+def q158_shingle_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per source: the fraction of each document's
+    distinct 3-word shingles whose corpus-wide FIRST occurrence (min
+    doc_id) is that document, averaged per source — the marginal-value
+    curve of a feed (a source whose novelty trends to zero is
+    re-crawling what the corpus already has). Shingles ride the 60-bit
+    md5 fingerprint family (operators/dedup.py), so only 8-byte hashes
+    shuffle; the first-seen aggregate is one map-side-combined groupBy
+    and per-doc rollups are decimal-exact (q109 doctrine). Documents
+    with fewer than 3 words carry no shingles and drop out of the
+    novelty base on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("h")
+    )
+    first_seen = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    perdoc = (
+        ex.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("decimal(10,6)")
+            .alias("novelty")
+        )
+    )
+    return (
+        perdoc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("novelty").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_novelty"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — LSH precision audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q159_lsh_precision_audit",
+    oracle=f"""
+    WITH {_sql_minhash_pairs(0.0)}
+    SELECT COUNT(*) AS n_candidates,
+           SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_verified,
+           ROUND(CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS precision
+    FROM pairs
+    """,
+    tags=("llm", "dedup", "minhash", "audit", "precision"),
+)
+def q159_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate precision — the efficiency counterpart of q143's
+    recall audit: of all pairs the banding scheme surfaces, what
+    fraction survive exact-Jaccard verification at the working
+    threshold? Low precision means the verify stage (the expensive
+    shingle-set intersection) is mostly wasted work and the band/row
+    split needs retuning via the S-curve. Reuses q68's pipeline with
+    the verify gate open (threshold 0), so candidate counting IS the
+    production plan; one three-counter aggregate leaves the
+    executors."""
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_near_duplicates(docs, jaccard_threshold=0.0)
+    return cand.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias("n_verified"),
+        F.round(
+            F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160 — duplicate-graph degree histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q160_dup_degree_histogram",
+    oracle=f"""
+    WITH {_sql_minhash_pairs(0.5)},
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_id_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_id_b AS doc_id FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT degree, COUNT(*) AS n_docs
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+    tags=("llm", "dedup", "graph", "histogram"),
+)
+def q160_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate graph shape: how many verified-duplicate partners
+    each involved document has (degree), histogrammed. A heavy tail
+    here is the boilerplate signature — one template shared by
+    thousands of pages — and predicts connected-component collapse
+    (q90) and hot LSH buckets (the q68 cap) before either happens.
+    Pairs shrink to ids immediately; two tiny integer aggregates
+    follow."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    deg = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q161 — cross-source duplicate leakage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q161_cross_source_leakage",
+    oracle=f"""
+    WITH {_sql_minhash_pairs(0.5)},
+    lab AS (
+      SELECT LEAST(da.source, db.source) AS source_x,
+             GREATEST(da.source, db.source) AS source_y,
+             CAST(p.jaccard AS DECIMAL(10,6)) AS j6
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_id_a
+      JOIN documents db ON db.doc_id = p.doc_id_b
+    )
+    SELECT source_x, source_y,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(j6) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+    FROM lab GROUP BY source_x, source_y ORDER BY source_x, source_y
+    """,
+    tags=("llm", "dedup", "leakage", "audit"),
+)
+def q161_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate leakage between feeds: verified near-dup pairs rolled
+    up by unordered source pair. Off-diagonal mass means two crawlers
+    are fetching the same content (pay for it once); the within-source
+    diagonal is ordinary re-crawl. The doc->source joins are
+    digest-keyed broadcasts of the pair list; mean jaccard rides the
+    rounded-decimal sum so the report is partitioning-independent."""
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa")),
+            "doc_id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb")),
+            "doc_id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            F.col("jaccard").cast("decimal(10,6)").alias("j6"),
+        )
+    )
+    return (
+        lab.groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("j6").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_jaccard"
+            ),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — deterministic stratified sample
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q162_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      FROM documents
+    )
+    SELECT lang, doc_id, sample_rank
+    FROM ranked WHERE sample_rank <= 5 ORDER BY lang, sample_rank
+    """,
+    tags=("llm", "sampling", "stratified"),
+)
+def q162_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a fixed-size per-language
+    audit sample selected by md5 rank over the key — no RNG state, so
+    every engine, rerun, and replica draws the SAME sample (the q76/
+    q127 init idiom applied to QA sampling). At scale this is a
+    map-side rank within each stratum partition; only k rows per
+    stratum survive the TopK."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 5)
+        .orderBy("lang", "sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — embedding dimension statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q163_embedding_dimension_stats",
+    oracle="""
+    WITH comp AS (
+      SELECT i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i) r
+    ),
+    agg AS (
+      SELECT pos,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(v * v AS DECIMAL(18,12))) AS DOUBLE) AS ss,
+             MIN(v) AS mn, MAX(v) AS mx
+      FROM comp GROUP BY pos
+    )
+    SELECT pos,
+           ROUND(s / n, 6) AS mean_val,
+           ROUND(ss / n - (s / n) * (s / n), 6) AS var_val,
+           ROUND(mn, 6) AS min_val,
+           ROUND(mx, 6) AS max_val
+    FROM agg ORDER BY pos
+    """,
+    tags=("llm", "similarity", "profile", "stats"),
+)
+def q163_embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (mean / variance / range) — the
+    collapse detector for a vector store: a dimension whose variance
+    goes to zero carries no signal, a shifted mean breaks dot-product
+    assumptions downstream (quantization q98, IVF q76). posexplode +
+    (position) groupBy keeps the expression tree O(1) in dim (the
+    _lloyd_step doctrine) and the power sums ride decimals, so every
+    statistic is the same double on any partitioning. 64 rows leave the
+    executors."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("_p", "v")
+    ).select((F.col("_p") + 1).alias("pos"), "v")
+    agg = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(18,12)"))
+        .cast("double")
+        .alias("ss"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    return agg.select(
+        "pos",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean_val"),
+        F.round(
+            F.col("ss") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+            6,
+        ).alias("var_val"),
+        F.round("mn", 6).alias("min_val"),
+        F.round("mx", 6).alias("max_val"),
+    ).orderBy("pos")

@@ -73,10 +73,10 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert _norm(srows, sdf.columns) == _norm(orows, ocols)
 
 
-def test_staged_wave_not_registered_in_driver_contract(monkeypatch):
-    """The round-3 driver must see exactly the live catalog: staged
-    modules only join via SPARK_GRAFT_EXTRA_MODULES."""
+def test_staged_wave_promoted_into_driver_contract(monkeypatch):
+    """Round 4 promoted the staged wave: llm_ops3 must be in the live
+    registry (staging via SPARK_GRAFT_EXTRA_MODULES is over for it)."""
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
     from airflow_scraping_etl_tutorial_spark.plans.registry import _QUERY_MODULES
 
-    assert "llm_ops3" not in ",".join(_QUERY_MODULES)
+    assert "llm_ops3" in ",".join(_QUERY_MODULES)
