@@ -665,3 +665,710 @@ def q163_embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("mn", 6).alias("min_val"),
         F.round("mx", 6).alias("max_val"),
     ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# q164 — brand basket pairs (co-purchase affinity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q164_brand_basket_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           COUNT(*) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+    tags=("relational", "join", "basket", "affinity"),
+)
+def q164_brand_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top brand pairs bought together
+    in one order — the association-mining shape (self-join on the
+    basket key) that also powers doc-level tag co-occurrence in a
+    curation pipeline. The part dim broadcasts; baskets collapse to
+    DISTINCT (order, brand) first, so the self-join's quadratic term is
+    bounded by the BRAND count per order (<= ~25 brands total), never
+    by line items. TakeOrderedAndProject caps the output at 20."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q165 — bigram PMI (collocation mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_bigram_pmi",
+    oracle="""
+    WITH w AS (SELECT STRING_SPLIT(text, ' ') AS words FROM documents),
+    uni AS (
+      SELECT tok, COUNT(*) AS c FROM (SELECT UNNEST(words) AS tok FROM w)
+      GROUP BY tok
+    ),
+    nu AS (SELECT SUM(c) AS n_uni FROM uni),
+    bi AS (
+      SELECT w1, w2, COUNT(*) AS c FROM (
+        SELECT words[i] AS w1, words[i + 1] AS w2
+        FROM w, UNNEST(RANGE(1, GREATEST(LEN(words) - 1, 0) + 1)) AS r(i)
+      ) GROUP BY w1, w2
+    ),
+    nb AS (SELECT SUM(c) AS n_bi FROM bi),
+    scored AS (
+      SELECT b.w1, b.w2, b.c AS pair_count,
+             ROUND(LN((CAST(b.c AS DOUBLE) / nb.n_bi)
+                   / ((CAST(ua.c AS DOUBLE) / nu.n_uni)
+                      * (CAST(ub.c AS DOUBLE) / nu.n_uni))), 4) AS pmi
+      FROM bi b
+      JOIN uni ua ON ua.tok = b.w1
+      JOIN uni ub ON ub.tok = b.w2
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE b.c >= 5
+    )
+    SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    tags=("llm", "text", "pmi", "collocation"),
+)
+def q165_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise mutual information
+    (min support 5) — the phrase detector run before vocabulary
+    decisions. Unigram and bigram counts are two map-side-combined
+    aggregates whose results (vocab-sized, not corpus-sized) broadcast
+    back onto the bigram table; the PMI argument is built from integer
+    counts with an identical double expression on both engines and
+    rounded before ranking so ordering cannot diverge in the last ulp
+    (q128's LN doctrine)."""
+    docs = load(spark, sf_dir, "documents")
+    words = tokens(F.col("text"))
+    w = docs.select(words.alias("words"))
+    uni = (
+        w.select(F.explode("words").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    bigrams = F.when(
+        F.size(F.col("words")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("words")) - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("words"), i).alias("w1"),
+                F.element_at(F.col("words"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        w.select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = bi.agg(F.sum("c").alias("n_bi"))
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bi.filter(F.col("c") >= 5)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("n_uni"))
+                        * (F.col("cb").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q166 — Zipf slope of the token distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q166_zipf_slope",
+    oracle="""
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM freq ORDER BY cnt DESC, tok LIMIT 100
+    ),
+    q AS (
+      SELECT CAST(LN(CAST(rnk AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+             CAST(LN(CAST(cnt AS DOUBLE)) AS DECIMAL(18,6)) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS zipf_intercept
+    FROM s
+    """,
+    tags=("llm", "text", "zipf", "stats"),
+)
+def q166_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: OLS slope of ln(frequency) against ln(rank) over
+    the top-100 tokens — the one-number lexical-health check (natural
+    text sits near -1; template spam flattens it). Ranks come from the
+    deterministic (count DESC, token) order; each ln is quantized to
+    DECIMAL(18,6) before the power sums (q128's LN doctrine) and the
+    decimal products are exact, so the regression inputs — and hence
+    the fitted slope — are identical doubles on both engines. Only the
+    vocab aggregate and 100 tiny rows ever exist."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        freq.orderBy(F.desc("cnt"), "tok")
+        .limit(100)
+        .select(
+            "cnt",
+            F.row_number().over(W.orderBy(F.desc("cnt"), "tok")).alias("rnk"),
+        )
+    )
+    q = top.select(
+        F.log(F.col("rnk").cast("double")).cast("decimal(18,6)").alias("x"),
+        F.log(F.col("cnt").cast("double")).cast("decimal(18,6)").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_tokens_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 — hash-partition balance audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_hash_partition_balance",
+    oracle="""
+    WITH b AS (
+      SELECT CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+               % 64 AS bucket,
+             n_chars
+      FROM documents
+    ),
+    agg AS (
+      SELECT bucket, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_docs) AS n FROM agg)
+    SELECT bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           ROUND(CAST(n_docs AS DOUBLE) * 64 / tot.n, 4) AS load_factor
+    FROM agg CROSS JOIN tot ORDER BY bucket
+    """,
+    tags=("llm", "partitioning", "skew", "audit"),
+)
+def q167_hash_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-balance audit: row and byte mass per md5-derived
+    bucket (64-way), with each bucket's load factor vs the uniform
+    ideal — the check run BEFORE choosing a partitioning key at 100 TB,
+    where one hot bucket becomes one straggling executor. The md5
+    bucket is engine-portable (unlike xxhash-based internal
+    partitioning), so the oracle audits the same assignment. One
+    map-side bucket tag + a 64-row aggregate; the load factor joins a
+    broadcast scalar."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 64
+    )
+    agg = (
+        docs.select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    tot = agg.agg(F.sum("n_docs").alias("n"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            F.round(F.col("n_docs").cast("double") * 64 / F.col("n"), 4).alias(
+                "load_factor"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 — event inter-arrival magnitude histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q168_interarrival_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(EPOCH_US(ts) AS BIGINT)
+               - LAG(CAST(EPOCH_US(ts) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           LENGTH(CAST(gap_us AS VARCHAR)) AS magnitude,
+           COUNT(*) AS n_gaps,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type, magnitude ORDER BY event_type, magnitude
+    """,
+    tags=("streaming", "events", "histogram", "profile"),
+)
+def q168_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile: per event type, the order-of-
+    magnitude histogram (decimal digits of the microsecond gap — the
+    integer-exact log10) of the time since the same user's previous
+    event. The cadence fingerprint that separates human click streams
+    from bot bursts and tunes session timeouts (q82's 30-minute gap)
+    from evidence. One user-partitioned window (same shuffle as
+    sessionization), then a tiny integer aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy(
+            "event_type",
+            F.length(F.col("gap_us").cast("string")).alias("magnitude"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type", "magnitude")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 — user activity concentration (decile shares)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q169_activity_concentration",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ),
+    d AS (
+      SELECT event_type, cnt,
+             NTILE(10) OVER (PARTITION BY event_type
+                             ORDER BY cnt DESC, user_id) AS decile
+      FROM u
+    ),
+    tot AS (SELECT event_type, SUM(cnt) AS total FROM u GROUP BY event_type)
+    SELECT d.event_type, d.decile,
+           COUNT(*) AS n_users,
+           SUM(d.cnt) AS n_events,
+           ROUND(CAST(SUM(d.cnt) AS DOUBLE) / MIN(t.total), 6) AS share
+    FROM d JOIN tot t ON t.event_type = d.event_type
+    GROUP BY d.event_type, d.decile ORDER BY d.event_type, d.decile
+    """,
+    tags=("streaming", "events", "concentration", "audit"),
+)
+def q169_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: how much of each event type's volume the
+    top user deciles generate (decile 1 = heaviest users). A spiking
+    top-decile share is the abuse/bot alarm AND the shuffle-skew
+    early-warning — the same heavy keys that dominate volume dominate
+    any user-keyed join (q26's salting threshold feeds on this).
+    Volumes aggregate per user first (map-side), so the window ranks
+    users-not-events; ties break on user_id for cross-engine NTILE
+    agreement."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    d = u.select(
+        "event_type",
+        "cnt",
+        F.ntile(10)
+        .over(W.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id"))
+        .alias("decile"),
+    )
+    tot = u.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    return (
+        d.join(tot, "event_type")
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("n_events"),
+            F.round(F.sum("cnt").cast("double") / F.min("total"), 6).alias("share"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — sequence-packing efficiency audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q170_packing_efficiency",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM toks
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 2048) AS BIGINT) AS n_seqs,
+           SUM(CASE WHEN start % 2048 + n_tokens > 2048 THEN 1 ELSE 0 END)
+             AS n_straddlers,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                 / (CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 2048) * 2048), 6)
+             AS utilization
+    FROM packed GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm", "packing", "audit"),
+)
+def q170_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over q102's greedy sequence packer: per
+    shard, how many fixed 2048-token sequences the docs fill, how many
+    docs straddle a sequence boundary (cross-attention pollution the
+    trainer must mask), and the fill fraction of the final layout. The
+    report that decides whether the packer needs a best-fit upgrade.
+    Same shard-local window as q102 — no global state — followed by an
+    8-row integer aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("bigint").alias("shard"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = toks.select(
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    )
+    n_seqs = F.ceil(F.sum("n_tokens").cast("double") / 2048).cast("bigint")
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            n_seqs.alias("n_seqs"),
+            F.sum(
+                F.when(F.col("start") % 2048 + F.col("n_tokens") > 2048, 1).otherwise(
+                    0
+                )
+            ).alias("n_straddlers"),
+            F.round(
+                F.sum("n_tokens").cast("double") / (n_seqs * 2048), 6
+            ).alias("utilization"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171 — prefix-dedup savings per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_prefix_dedup_savings",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             MIN(doc_id) OVER (PARTITION BY lang, MD5(SUBSTR(text, 1, 50)))
+               AS kept_doc_id
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN doc_id <> kept_doc_id THEN 1 ELSE 0 END) AS n_dropped,
+           SUM(CASE WHEN doc_id <> kept_doc_id THEN n_chars ELSE 0 END)
+             AS chars_dropped,
+           SUM(CASE WHEN doc_id = kept_doc_id THEN n_chars ELSE 0 END)
+             AS chars_kept
+    FROM k GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "dedup", "prefix", "savings"),
+)
+def q171_prefix_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What q124's cheap prefix-dedup pass actually SAVES, per source:
+    docs and bytes that the (lang, 50-char-prefix-md5) keep-first rule
+    would drop before the expensive MinHash stage runs. This is the
+    cost-avoidance report that justifies running the cheap pass first
+    in a tiered dedup cascade. The keep decision is a window-min over
+    the 16-byte digest key — text never shuffles — then one per-source
+    aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.min("doc_id")
+        .over(W.partitionBy("lang", F.md5(F.substring("text", 1, 50))))
+        .alias("kept_doc_id"),
+    )
+    dropped = F.col("doc_id") != F.col("kept_doc_id")
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(dropped, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(dropped, F.col("n_chars")).otherwise(0)).alias(
+                "chars_dropped"
+            ),
+            F.sum(F.when(~dropped, F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 — repetition drift per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q172_repetition_drift_by_source",
+    oracle="""
+    WITH w AS (
+      SELECT source, STRING_SPLIT(text, ' ') AS words FROM documents
+    ),
+    g AS (
+      SELECT source, words, LEN(words) AS n_words,
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 0) + 1),
+                            i -> ARRAY_TO_STRING(words[i:i+1], ' ')) AS bigrams
+      FROM w
+    ),
+    m AS (
+      SELECT source,
+             CAST(ROUND(1.0 - CAST(LEN(LIST_DISTINCT(words)) AS DOUBLE)
+                        / n_words, 6) AS DECIMAL(10,6)) AS dw,
+             CAST(CASE WHEN LEN(bigrams) > 0
+                  THEN ROUND(1.0 - CAST(LEN(LIST_DISTINCT(bigrams)) AS DOUBLE)
+                             / LEN(bigrams), 6)
+                  ELSE 0.0 END AS DECIMAL(10,6)) AS db
+      FROM g
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(dw) AS DOUBLE) / COUNT(*), 6) AS mean_dup_word_frac,
+           ROUND(CAST(SUM(db) AS DOUBLE) / COUNT(*), 6) AS mean_dup_bigram_frac,
+           SUM(CASE WHEN db > 0.2 OR dw > 0.3 THEN 1 ELSE 0 END) AS n_repetitive
+    FROM m GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "quality", "repetition", "drift"),
+)
+def q172_repetition_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition drift per source: q104's Gopher duplicate-word /
+    duplicate-bigram fractions rolled up per feed, plus the count of
+    docs the repetition filter would drop. A source whose means creep
+    up is shipping boilerplate; this is the dashboard row that catches
+    it. Per-doc fractions are rounded then decimal-summed (q109
+    doctrine) so the per-source means are partitioning-independent;
+    the flags compare the SAME rounded values as q104."""
+    from ..operators.text import repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    stats = repetition_stats(F.col("text"))
+    m = docs.select(
+        "source",
+        stats["dup_word_frac"].cast("decimal(10,6)").alias("dw"),
+        stats["dup_bigram_frac"].cast("decimal(10,6)").alias("db"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("dw").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_dup_word_frac"
+            ),
+            F.round(F.sum("db").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_dup_bigram_frac"
+            ),
+            F.sum(
+                F.when((F.col("db") > 0.2) | (F.col("dw") > 0.3), 1).otherwise(0)
+            ).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173 — contamination drift per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q173_contamination_by_source",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER)
+               AS gate,
+             shingles
+      FROM sh),
+    ev AS (
+      SELECT DISTINCT CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) AS h
+      FROM (SELECT UNNEST(shingles) AS s FROM g WHERE gate < 16) q),
+    c AS (
+      SELECT doc_id, CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) AS h
+      FROM (SELECT doc_id, UNNEST(shingles) AS s FROM g
+            WHERE gate >= 16 AND LEN(shingles) > 0) q),
+    perdoc AS (
+      SELECT c.doc_id,
+             CAST(ROUND(CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*), 6) AS DECIMAL(10,6)) AS ratio,
+             CASE WHEN SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM c LEFT JOIN ev ON c.h = ev.h
+      GROUP BY c.doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(p.ratio) AS DOUBLE) / COUNT(*), 6)
+             AS mean_contamination,
+           SUM(p.hit) AS n_contaminated
+    FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("llm", "dedup", "decontamination", "drift"),
+)
+def q173_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination drift per source: q141's per-document eval-overlap
+    ratio (md5-gated ~6% eval split, broadcast 60-bit shingle hashes)
+    rolled up per feed — mean overlap and the count of any-hit docs.
+    The report that tells you WHICH crawler is re-ingesting your eval
+    benchmarks. Same broadcast-eval / map-side-aggregate shape as
+    q103/q141; per-doc ratios ride the rounded-decimal mean."""
+    docs = load(spark, sf_dir, "documents")
+    gate = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    sh = docs.select(
+        "doc_id", gate.alias("gate"), shingle_hashes(F.col("text"), 3).alias("hs")
+    )
+    ev = (
+        sh.filter(F.col("gate") < 16)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter((F.col("gate") >= 16) & (F.size("hs") > 0)).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    shared = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    perdoc = (
+        corpus.join(F.broadcast(ev), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(shared.cast("double") / F.count(F.lit(1)), 6)
+            .cast("decimal(10,6)")
+            .alias("ratio"),
+            F.when(shared > 0, 1).otherwise(0).alias("hit"),
+        )
+    )
+    return (
+        perdoc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("ratio").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_contamination"
+            ),
+            F.sum("hit").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
