@@ -1372,3 +1372,596 @@ def q173_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — winnowing fingerprint overlap between sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_winnowing_source_overlap",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               RANGE(1, GREATEST(LENGTH(text) - 8 + 1, 0) + 1),
+               i -> CAST('0x' || SUBSTR(MD5(SUBSTR(text, CAST(i AS INTEGER), 8)),
+                         1, 15) AS BIGINT)
+             ) AS gh
+      FROM documents WHERE doc_id < 300
+    ),
+    w AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(gh) - 4 + 1, 0) + 1),
+               i -> LIST_MIN(gh[i:i+3])
+             )) AS fps
+      FROM g
+    ),
+    sf AS (
+      SELECT DISTINCT d.source, f.fp
+      FROM w JOIN documents d ON d.doc_id = w.doc_id,
+           UNNEST(w.fps) AS f(fp)
+    )
+    SELECT a.source AS source_x, b.source AS source_y,
+           COUNT(*) AS n_shared_fingerprints
+    FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY source_x, source_y
+    """,
+    tags=("llm", "text", "fingerprint", "leakage"),
+)
+def q174_winnowing_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level leakage between feeds: winnowing fingerprints
+    (q97's MOSS scheme — any shared substring of length >= 11 is
+    guaranteed to share a fingerprint) collapsed to DISTINCT
+    (source, fingerprint) and self-joined across sources. Complements
+    q161: MinHash sees whole-document similarity, winnowing catches a
+    shared paragraph inside otherwise-different documents. The distinct
+    collapse bounds the join input by unique-fingerprint count, and
+    only 8-byte hashes shuffle."""
+    from ..operators.text import winnowing_fingerprints
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fps = winnowing_fingerprints(docs, k=8, window=4)
+    sf = (
+        fps.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fingerprint")
+        .distinct()
+    )
+    a = sf.select(F.col("source").alias("source_x"), "fingerprint")
+    b = sf.select(F.col("source").alias("source_y"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("source_x") < F.col("source_y"))
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+        .orderBy("source_x", "source_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175 — exact-duplicate multiplicity histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q175_exact_dup_multiplicity",
+    oracle="""
+    WITH g AS (
+      SELECT MD5(LOWER(TRIM(text))) AS fp, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    SELECT n_copies, COUNT(*) AS n_groups, n_copies * COUNT(*) AS n_docs
+    FROM g GROUP BY n_copies ORDER BY n_copies
+    """,
+    tags=("llm", "dedup", "exact", "histogram"),
+)
+def q175_exact_dup_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate multiplicity profile: group documents by
+    normalized content hash (q64's fp_normalized) and histogram the
+    copy counts — the first corpus-shape question (how much is
+    byte-identical mirror mass?) answered before any fuzzy dedup runs.
+    Two map-side-combined integer aggregates over 16-byte digests."""
+    docs = load(spark, sf_dir, "documents")
+    g = (
+        docs.select(F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    return (
+        g.groupBy("n_copies")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            "n_copies",
+            "n_groups",
+            (F.col("n_copies") * F.col("n_groups")).alias("n_docs"),
+        )
+        .orderBy("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — order value deciles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q176_order_value_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    tags=("relational", "window", "decile", "distribution"),
+)
+def q176_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value decile table: equal-population bands of order totals
+    with each band's boundaries and mass — the distribution summary a
+    pricing or segmentation pass reads (exact-percentile q28's
+    banded cousin). NTILE ties break on the key so both engines cut
+    identical bands. At scale a global NTILE is one total-order sort —
+    acceptable for a report; range-partitioned sort, no driver
+    collect."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_totalprice",
+        F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey")).alias("decile"),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q177 — customer re-order cadence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q177_customer_order_cadence",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_mktsegment,
+             DATE_DIFF('day',
+               LAG(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                        ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate) AS gap_days
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_gaps,
+           ROUND(CAST(SUM(CAST(gap_days AS DECIMAL(18,0))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_gap_days,
+           MIN(gap_days) AS min_gap_days,
+           MAX(gap_days) AS max_gap_days
+    FROM g WHERE gap_days IS NOT NULL
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("relational", "window", "cadence", "retention"),
+)
+def q177_customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-order cadence per market segment: days between a customer's
+    consecutive orders (the purchase-frequency half of q153's RFM,
+    measured properly with a lag window instead of recency alone).
+    The customer-partitioned window shares its shuffle key with every
+    other per-customer analysis; integer day gaps make the means
+    decimal-exact."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+                "gap_days"
+            ),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        g.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum(F.col("gap_days").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178 — supplier part coverage by nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q178_supplier_part_coverage",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n_parts FROM part),
+    np AS (
+      SELECT DISTINCT n.n_name, l.l_partkey
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT n_name,
+           COUNT(*) AS n_distinct_parts,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(tot.n_parts), 6) AS coverage
+    FROM np CROSS JOIN tot
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("relational", "join", "coverage", "audit"),
+)
+def q178_supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment coverage: what fraction of the part catalog each
+    nation's suppliers have actually shipped (lineitem as the
+    supplier-part bridge — the fixtures carry no partsupp table, the
+    q131-q138 doctrine). Distinct-keys-first: (nation, partkey)
+    collapses BEFORE counting (q149's shape), supplier/nation broadcast,
+    and the catalog size is a one-row broadcast scalar."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part")
+    tot = part.agg(F.count(F.lit(1)).alias("n_parts"))
+    np_ = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("n_name", "l_partkey")
+        .distinct()
+    )
+    return (
+        np_.crossJoin(F.broadcast(tot))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_parts"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.min("n_parts"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179 — token cost by split (BPE-ish estimator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q179_token_cost_by_split",
+    oracle="""
+    WITH gated AS (
+      SELECT lang, text,
+             CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+                  AS INTEGER) AS gate
+      FROM documents
+    ),
+    t AS (
+      SELECT CASE WHEN gate < 230 THEN 'train'
+                  WHEN gate < 243 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang,
+             LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+             LIST_SUM(LIST_TRANSFORM(
+               REGEXP_SPLIT_TO_ARRAY(text, '[^A-Za-z0-9]+'),
+               w -> GREATEST(CAST(CEIL(LENGTH(w) / 4) AS BIGINT), 1)
+             )) AS bpe_tokens
+      FROM gated
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+    FROM t GROUP BY split, lang ORDER BY split, lang
+    """,
+    tags=("llm", "tokens", "split", "budget"),
+)
+def q179_token_cost_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget per (split, lang): whitespace tokens alongside the
+    BPE-ish estimate (word-piece splits on non-alphanumeric boundaries
+    plus a length/4 term — the cheap proxy used when no tokenizer model
+    ships with the engine), bucketed by q105's deterministic md5 split
+    gate. This is the table a training-cost forecast reads. Map-only
+    scoring fused into the scan; the aggregate is split x lang
+    sized."""
+    from ..operators.text import bpe_ish_token_count
+
+    docs = load(spark, sf_dir, "documents")
+    gate = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    t = docs.select(
+        F.when(gate < 230, "train").when(gate < 243, "val").otherwise("test").alias(
+            "split"
+        ),
+        "lang",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    return (
+        t.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — hourly load profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q180_hourly_load_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, EXTRACT(HOUR FROM ts) AS hour_of_day FROM events
+    ),
+    tot AS (SELECT event_type, COUNT(*) AS total FROM h GROUP BY event_type)
+    SELECT h.event_type AS event_type,
+           CAST(h.hour_of_day AS INTEGER) AS hour_of_day,
+           COUNT(*) AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(t.total), 6) AS share
+    FROM h JOIN tot t ON t.event_type = h.event_type
+    GROUP BY h.event_type, h.hour_of_day
+    ORDER BY h.event_type, hour_of_day
+    """,
+    tags=("streaming", "events", "profile", "capacity"),
+)
+def q180_hourly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal load profile: event volume and within-type share per
+    hour of day (UTC — the session timezone the engine pins) — the
+    capacity-planning curve that sizes streaming executors and picks
+    maintenance windows. Two tiny aggregates; the share denominator
+    rides a broadcast."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.select("event_type", F.hour("ts").alias("hour_of_day"))
+    tot = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        h.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.count(F.lit(1)).cast("double") / F.min("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — null-rate audit
+# ---------------------------------------------------------------------------
+
+_NULL_AUDIT = (
+    ("events", "value"),
+    ("events", "props"),
+    ("events", "event_type"),
+    ("documents", "text"),
+    ("documents", "lang"),
+    ("documents", "source"),
+)
+
+
+@query(
+    "q181_null_rate_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{t}' AS table_name, '{c}' AS column_name,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS null_rate
+    FROM {t}"""
+        for t, c in _NULL_AUDIT
+    )
+    + " ORDER BY table_name, column_name",
+    tags=("audit", "quality", "nulls"),
+)
+def q181_null_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rate audit across the columns a pipeline depends on — the
+    generalization of the reference's arity/schema gate
+    (dags/Final_app.py:52-56) from one daily row to column-level
+    completeness contracts. Each table contributes one
+    map-side-combined aggregate; the union is rows-per-column sized.
+    A null_rate that moves between snapshots is an upstream schema or
+    extraction break caught before training."""
+    frames = []
+    for t, c in _NULL_AUDIT:
+        df = load(spark, sf_dir, t)
+        n_nulls = F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+        frames.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                n_nulls.alias("n_nulls"),
+                F.round(n_nulls.cast("double") / F.count(F.lit(1)), 6).alias(
+                    "null_rate"
+                ),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# q182 — dedup cascade funnel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q182_dedup_cascade_report",
+    oracle=f"""
+    WITH {_sql_minhash_pairs(0.5)},
+    mh_drops AS (SELECT DISTINCT doc_id_b AS doc_id FROM pairs),
+    pf AS (
+      SELECT doc_id, text,
+             MIN(doc_id) OVER (PARTITION BY lang, MD5(SUBSTR(text, 1, 50)))
+               AS kept_doc_id
+      FROM documents
+    )
+    SELECT 'stage0_raw' AS stage, COUNT(*) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    UNION ALL
+    SELECT 'stage1_prefix_kept', COUNT(*),
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+    FROM pf WHERE doc_id = kept_doc_id
+    UNION ALL
+    SELECT 'stage2_minhash_kept', COUNT(*),
+           CAST(SUM(LEN(STRING_SPLIT(p.text, ' '))) AS BIGINT)
+    FROM pf p LEFT JOIN mh_drops m ON m.doc_id = p.doc_id
+    WHERE p.doc_id = p.kept_doc_id AND m.doc_id IS NULL
+    ORDER BY stage
+    """,
+    tags=("llm", "dedup", "cascade", "funnel"),
+)
+def q182_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiered-dedup funnel a production corpus pass reports: raw
+    corpus -> after the cheap prefix collapse (q124 rule) -> after
+    MinHash near-dup drops (q155 keep-list) applied to the survivors.
+    Doc and token mass at each stage — the numbers that justify each
+    tier's cost (the cheap pass runs first precisely to shrink what
+    the expensive pass sees). Keep decisions are digest-keyed
+    everywhere; text is token-counted map-side only."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(tokens(F.col("text"))).cast("bigint")
+    pf = docs.select(
+        "doc_id",
+        ntok.alias("_tok"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                W.partitionBy("lang", F.md5(F.substring("text", 1, 50)))
+            )
+        ).alias("_pfkeep"),
+    )
+    mh_drops = (
+        minhash_near_duplicates(docs, jaccard_threshold=0.5)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_mhdrop", F.lit(1))
+    )
+    flagged = pf.join(mh_drops, "doc_id", "left")
+    stage0 = flagged.agg(
+        F.lit("stage0_raw").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+    )
+    stage1 = flagged.filter(F.col("_pfkeep")).agg(
+        F.lit("stage1_prefix_kept").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+    )
+    stage2 = flagged.filter(F.col("_pfkeep") & F.col("_mhdrop").isNull()).agg(
+        F.lit("stage2_minhash_kept").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+    )
+    return stage0.unionByName(stage1).unionByName(stage2).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# q183 — character-class profile per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q183_charclass_profile",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             CAST(ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text), 6) AS DECIMAL(10,6)) AS digit_frac,
+             CAST(ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text), 6) AS DECIMAL(10,6)) AS upper_frac,
+             CAST(ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9 ]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text), 6) AS DECIMAL(10,6)) AS other_frac
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(digit_frac) AS DOUBLE) / COUNT(*), 6)
+             AS mean_digit_frac,
+           ROUND(CAST(SUM(upper_frac) AS DOUBLE) / COUNT(*), 6)
+             AS mean_upper_frac,
+           ROUND(CAST(SUM(other_frac) AS DOUBLE) / COUNT(*), 6)
+             AS mean_other_frac
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "text", "quality", "profile"),
+)
+def q183_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per language: digit / uppercase /
+    non-alphanumeric fractions of each document, averaged per claimed
+    language — the cheap orthography fingerprint that flags mislabeled
+    or machine-generated segments (tables of numbers, shouting spam,
+    non-Latin text under a Latin lang tag) without any classifier.
+    Map-only regexp counting fused into the scan; rounded-decimal
+    means keep the report partitioning-independent."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+
+    def frac(pattern: str):
+        return F.round(
+            F.length(F.regexp_replace(F.col("text"), pattern, "")).cast("double")
+            / F.length("text"),
+            6,
+        ).cast("decimal(10,6)")
+
+    m = docs.select(
+        "lang",
+        frac("[^0-9]").alias("digit_frac"),
+        frac("[^A-Z]").alias("upper_frac"),
+        frac("[A-Za-z0-9 ]").alias("other_frac"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("digit_frac").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_digit_frac"
+            ),
+            F.round(F.sum("upper_frac").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_upper_frac"
+            ),
+            F.round(F.sum("other_frac").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_other_frac"
+            ),
+        )
+        .orderBy("lang")
+    )
