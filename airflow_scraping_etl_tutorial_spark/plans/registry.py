@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.relational4",
     "airflow_scraping_etl_tutorial_spark.plans.streaming_queries",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops3",
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops4",
 )
 
 
@@ -69,15 +70,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # CORRECTNESS_r*.json rows (latest attestation wins; the driver attests
 # ~50 queries per round, first-come-first-served over queries() order).
 #
-# After round 3 every registered entry q01-q141 is attested green
-# (r01∪r02∪r03 union, latest wins: 141/141, zero reds, zero err).
-# Tiers for the round-4 run:
-#   tier 1 — never-attested entries: the promoted wave 4 (q142-q153,
-#            plans/llm_ops3.py) plus any round-4 additions,
-#            registration order;
-#   tier 2 — attested greens q01-q141 (registration order).
-# Tier 1 must stay within the ~50-query driver budget.
-_ATTESTED_GREEN = frozenset(f"q{i:02d}" for i in range(1, 142))
+# After round 4 every registered entry q01-q153 carries a driver-green
+# row in the r01∪r02∪r03∪r04 union — but the round-4 judge verified
+# q82/q84 broken under the Spark-4/TIMESTAMP_NTZ fixture drift (fixed
+# in sources/tables.py this round), so their green rows are stale.
+# Tiers for the round-5 run:
+#   tier 1 — q82/q84 (re-attest the fix) + the new wave 5 (q154-q183,
+#            plans/llm_ops4.py), registration order: 32 entries,
+#            within the ~50-query driver budget;
+#   tier 2 — attested greens (registration order).
+_ATTESTED_GREEN = frozenset(f"q{i:02d}" for i in range(1, 154)) - {"q82", "q84"}
 
 
 def _priority(name: str) -> tuple[int, int]:
