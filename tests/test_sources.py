@@ -68,3 +68,45 @@ def test_events_ts_microsecond_conversion(spark):
         ).fetchall()
     )
     assert got == duck
+
+
+def test_events_ts_normalized_for_all_on_disk_formats(spark, tmp_path):
+    """tables.load's ts contract: TimestampType with identical instants
+    no matter how a fixture drop landed on disk — TIMESTAMP(NANOS)
+    (read as raw long under nanosAsLong), timestamp[us] WITHOUT
+    timezone (TIMESTAMP_NTZ under Spark 4), or tz-aware timestamp[us].
+    Guards against the Spark-4 fixture drift that broke unix_micros
+    call sites (sessionization q82, as-of join q84)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airflow_scraping_etl_tutorial_spark.sources import tables
+
+    micros = [1660867200000000, 1660867260500000, 1660870800123456]
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 10, 11], pa.int64()),
+        "event_type": pa.array(["view", "click", "purchase"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * 3),
+    }
+    variants = {
+        "ns": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+        "ntz": pa.array(micros, pa.timestamp("us")),
+        "tz": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    for name, ts_arr in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": ts_arr}), str(d / "events.parquet")
+        )
+        df = tables.load(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        got = [
+            r.us
+            for r in df.select(F.unix_micros("ts").alias("us"))
+            .orderBy("event_id")
+            .collect()
+        ]
+        assert got == micros, name
