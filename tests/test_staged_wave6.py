@@ -1,0 +1,80 @@
+"""Staged wave-6 catalog entries (plans/llm_ops5.py): value-level
+oracle comparison at sf0.001 — the same gate tools/check_correctness.py
+applies to the live catalog, run in pytest because the module is not in
+registry._QUERY_MODULES until round 6 (driver-budget staging; see the
+module docstring)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from airflow_scraping_etl_tutorial_spark.plans import llm_ops5  # noqa: F401  (registers)
+from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+STAGED = [
+    "q184_session_shape_profile",
+    "q185_dup_cluster_size_histogram",
+    "q186_greedy_vs_transitive_dedup",
+    "q187_neyman_allocation",
+    "q188_late_arrival_audit",
+    "q189_heaps_law_fit",
+    "q190_value_outlier_audit",
+    "q191_asof_tolerance_join",
+    "q192_docs_embeddings_coverage",
+    "q193_token_gini",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def nv(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else v
+        return str(v)
+
+    out = [tuple(nv(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_query_matches_oracle(spark, duck, name):
+    spec = _REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    srows = sdf.collect()
+    res = duck.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) > 0, "staged queries must be non-empty at sf0.001"
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert _norm(srows, sdf.columns) == _norm(orows, ocols)
+
+
+def test_staged_wave6_not_registered_in_driver_contract(monkeypatch):
+    """The round-5 driver must see exactly the 183-entry live catalog:
+    llm_ops5 only joins via SPARK_GRAFT_EXTRA_MODULES until round 6."""
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
+    from airflow_scraping_etl_tutorial_spark.plans.registry import _QUERY_MODULES
+
+    assert "llm_ops5" not in ",".join(_QUERY_MODULES)
