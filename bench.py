@@ -19,6 +19,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from airflow_scraping_etl_tutorial_spark.functions.caching import (  # noqa: E402
+    release_session_intermediates,
+)
 from airflow_scraping_etl_tutorial_spark.plans import all_queries  # noqa: E402
 from airflow_scraping_etl_tutorial_spark.session import get_spark  # noqa: E402
 
@@ -58,8 +61,11 @@ def main() -> None:
     specs = all_queries()
 
     def run(name: str) -> float:
-        # isolate queries: drop persisted intermediates (q68's signature
-        # cache etc.) so one query's cache/GC pressure can't skew the next
+        # isolate queries: drain operator-tagged persisted intermediates
+        # (q68's signature cache etc. — the documented release path for
+        # run-a-query-then-clean loops) plus a catalog-wide clearCache,
+        # so one query's cache/GC pressure can't skew the next
+        release_session_intermediates(spark)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
