@@ -803,3 +803,321 @@ def q193_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — Pareto skyline of orders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q194_pareto_skyline",
+    oracle="""
+    WITH pp AS (
+      SELECT o_totalprice, MAX(o_orderdate) AS mdate
+      FROM orders GROUP BY o_totalprice
+    ),
+    runs AS (
+      SELECT o_totalprice, mdate,
+             MAX(mdate) OVER (ORDER BY o_totalprice DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS best_prev
+      FROM pp
+    )
+    SELECT o.o_orderkey, o.o_totalprice,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM orders o JOIN runs r ON r.o_totalprice = o.o_totalprice
+    WHERE o.o_orderdate = r.mdate
+      AND (r.best_prev IS NULL OR o.o_orderdate > r.best_prev)
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+    tags=("relational", "skyline", "window"),
+)
+def q194_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query: orders strictly dominated by no
+    other on (totalprice, orderdate) — the multi-criteria shortlist
+    operator (best trade-offs, not a single ranking). Computed without
+    the naive quadratic self-join: collapse to max-date per price
+    level, one running max over the price-descending order gives each
+    level the best date among strictly higher prices, and a row
+    survives iff it beats that. One grouped aggregate + one window +
+    one broadcast-size join back — O(n log n) by sort, the 100 TB
+    form of a skyline."""
+    orders = load(spark, sf_dir, "orders")
+    pp = orders.groupBy("o_totalprice").agg(F.max("o_orderdate").alias("mdate"))
+    w = W.orderBy(F.desc("o_totalprice")).rowsBetween(W.unboundedPreceding, -1)
+    runs = pp.select(
+        "o_totalprice", "mdate", F.max("mdate").over(w).alias("best_prev")
+    )
+    return (
+        orders.join(runs, "o_totalprice")
+        .filter(
+            (F.col("o_orderdate") == F.col("mdate"))
+            & (
+                F.col("best_prev").isNull()
+                | (F.col("o_orderdate") > F.col("best_prev"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — month-over-month revenue growth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_mom_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT r.r_name AS region,
+             STRFTIME(o.o_orderdate, '%Y-%m') AS month,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                  AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, month, revenue,
+           ROUND(revenue / LAG(revenue) OVER (PARTITION BY region
+                                              ORDER BY month) - 1, 6)
+             AS mom_growth
+    FROM m ORDER BY region, month
+    """,
+    tags=("relational", "window", "growth", "trend"),
+)
+def q195_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per region: q01's star
+    aggregation at month grain with a lag-window growth rate — the
+    trend layer every revenue dashboard adds on top of the flagship
+    rollup. The heavy work is the same 4-broadcast-dim star + one
+    month-grain aggregate; the growth window then runs on
+    region x month rows (model-sized). Revenue rides the decimal-exact
+    money path and is rounded BEFORE the ratio, so growth is the same
+    double on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = W.partitionBy("region").orderBy("month")
+    return m.select(
+        "region",
+        "month",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
+            "mom_growth"
+        ),
+    ).orderBy("region", "month")
+
+
+# ---------------------------------------------------------------------------
+# q196 — hapax legomena rate per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q196_hapax_rate_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    v AS (SELECT source, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+    SELECT source,
+           COUNT(*) AS vocab_size,
+           SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_rate
+    FROM v GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text", "vocabulary", "profile"),
+)
+def q196_hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source: the fraction of each feed's
+    vocabulary used exactly once. Natural text sits near 40-60%;
+    template spam collapses it, OCR noise inflates it — the third leg
+    of the lexical-health triad with q166 (Zipf slope) and q193 (Gini).
+    Two map-side-combined integer aggregates over (source, token);
+    the text never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    v = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hapax = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            hapax.alias("n_hapax"),
+            F.round(hapax.cast("double") / F.count(F.lit(1)), 6).alias(
+                "hapax_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — dominant-direction (anisotropy) audit via power iteration
+# ---------------------------------------------------------------------------
+
+
+def _sql_power_iteration_oracle(dim: int = 64) -> str:
+    """DuckDB twin of the two-step power iteration: left-associated
+    component sums for the seed dot, decimal-exact matrix-vector
+    accumulations across rows, and the _sql_dot chains for everything
+    vector-sized — every intermediate double matches Spark."""
+    from .llm_ops import _sql_dot
+
+    seed_dot = "(" + " + ".join(
+        f"CAST(embedding[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    ) + ")"
+    return f"""
+    WITH d0 AS (
+      SELECT embedding, {seed_dot} AS d0 FROM embeddings
+    ),
+    c1 AS (
+      SELECT i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * d0
+                  AS DECIMAL(28,10))) AS DOUBLE) AS w
+      FROM d0, (SELECT UNNEST(RANGE(1, {dim + 1})) AS i) r GROUP BY i
+    ),
+    w1 AS (SELECT LIST(w ORDER BY pos) AS v1 FROM c1),
+    d1 AS (
+      SELECT e.embedding, {_sql_dot('e.embedding', 'w.v1', dim)} AS d1
+      FROM embeddings e CROSS JOIN w1 w
+    ),
+    c2 AS (
+      SELECT i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * d1
+                  AS DECIMAL(38,8))) AS DOUBLE) AS w
+      FROM d1, (SELECT UNNEST(RANGE(1, {dim + 1})) AS i) r GROUP BY i
+    ),
+    w2 AS (SELECT LIST(w ORDER BY pos) AS v2 FROM c2),
+    tr AS (
+      SELECT CAST(SUM(CAST({_sql_dot('embedding', 'embedding', dim)}
+                  AS DECIMAL(18,8))) AS DOUBLE) AS trace
+      FROM embeddings
+    )
+    SELECT ROUND(({_sql_dot('b.v2', 'a.v1', dim)} / {_sql_dot('a.v1', 'a.v1', dim)})
+                 / t.trace, 6) AS top_eigen_share,
+           ROUND(b.v2[1] / SQRT({_sql_dot('b.v2', 'b.v2', dim)}), 6) AS comp_1,
+           ROUND(b.v2[2] / SQRT({_sql_dot('b.v2', 'b.v2', dim)}), 6) AS comp_2,
+           ROUND(b.v2[3] / SQRT({_sql_dot('b.v2', 'b.v2', dim)}), 6) AS comp_3,
+           ROUND(b.v2[4] / SQRT({_sql_dot('b.v2', 'b.v2', dim)}), 6) AS comp_4
+    FROM w1 a CROSS JOIN w2 b CROSS JOIN tr t
+    """
+
+
+@query(
+    "q197_embedding_anisotropy_audit",
+    oracle=_sql_power_iteration_oracle(),
+    tags=("llm", "similarity", "spectral", "iterative", "audit"),
+)
+def q197_embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy audit: the share of total second-moment
+    mass captured by the dominant direction of the embedding cloud,
+    found with two deterministic power iterations (seed = all-ones) —
+    distributed linear algebra in pure DataFrame ops. A high share is
+    the classic anisotropy pathology (all vectors crowd a narrow cone,
+    cosine loses contrast and q71-q76 retrieval degrades); this is the
+    one-number check run before trusting a new embedding model.
+
+    Each matrix-vector product is one map stage (per-row dot against
+    the broadcast iterate, left-associated fold) plus one dim-sized
+    decimal-exact aggregation — O(n*dim) work, dim-row shuffles, no
+    dim x dim covariance ever materialized, which is what survives
+    10^9 vectors. The Rayleigh quotient and the reported components
+    come from _sql_dot-identical chains, so every output double is
+    bit-stable cross-engine."""
+    from ..operators.similarity import as_double, dot
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(as_double(F.col("embedding")).alias("e"))
+    d0 = vecs.select(
+        "e",
+        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x).alias("d0"),
+    )
+    c1 = d0.select("d0", F.posexplode("e").alias("_p", "xi")).select(
+        (F.col("_p") + 1).alias("pos"), "xi", "d0"
+    )
+    w1 = c1.groupBy("pos").agg(
+        F.sum((F.col("xi") * F.col("d0")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("w")
+    )
+    w1row = w1.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+        ).alias("v1")
+    )
+    d1 = vecs.crossJoin(F.broadcast(w1row)).select(
+        "e", dot(F.col("e"), F.col("v1")).alias("d1")
+    )
+    c2 = d1.select("d1", F.posexplode("e").alias("_p", "xi")).select(
+        (F.col("_p") + 1).alias("pos"), "xi", "d1"
+    )
+    w2 = c2.groupBy("pos").agg(
+        F.sum((F.col("xi") * F.col("d1")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("w")
+    )
+    w2row = w2.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+        ).alias("v2")
+    )
+    tr = vecs.agg(
+        F.sum(dot(F.col("e"), F.col("e")).cast("decimal(18,8)"))
+        .cast("double")
+        .alias("trace")
+    )
+    norm2 = F.sqrt(dot(F.col("v2"), F.col("v2")))
+    return (
+        w1row.crossJoin(F.broadcast(w2row))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.round(
+                (dot(F.col("v2"), F.col("v1")) / dot(F.col("v1"), F.col("v1")))
+                / F.col("trace"),
+                6,
+            ).alias("top_eigen_share"),
+            F.round(F.element_at("v2", 1) / norm2, 6).alias("comp_1"),
+            F.round(F.element_at("v2", 2) / norm2, 6).alias("comp_2"),
+            F.round(F.element_at("v2", 3) / norm2, 6).alias("comp_3"),
+            F.round(F.element_at("v2", 4) / norm2, 6).alias("comp_4"),
+        )
+    )

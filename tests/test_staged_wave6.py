@@ -28,6 +28,10 @@ STAGED = [
     "q191_asof_tolerance_join",
     "q192_docs_embeddings_coverage",
     "q193_token_gini",
+    "q194_pareto_skyline",
+    "q195_mom_revenue_growth",
+    "q196_hapax_rate_by_source",
+    "q197_embedding_anisotropy_audit",
 ]
 
 
