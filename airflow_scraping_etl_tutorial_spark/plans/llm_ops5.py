@@ -1121,3 +1121,264 @@ def q197_embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.element_at("v2", 4) / norm2, 6).alias("comp_4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — kNN hubness audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_knn_hubness_audit",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+    ranked AS (
+      SELECT e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ("""
+    + " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(e.embedding[{i}] AS DOUBLE)"
+        for i in range(1, 65)
+    )
+    + """) / (SQRT("""
+    + " + ".join(
+        f"CAST(q.embedding[{i}] AS DOUBLE) * CAST(q.embedding[{i}] AS DOUBLE)"
+        for i in range(1, 65)
+    )
+    + """) * SQRT("""
+    + " + ".join(
+        f"CAST(e.embedding[{i}] AS DOUBLE) * CAST(e.embedding[{i}] AS DOUBLE)"
+        for i in range(1, 65)
+    )
+    + """)) DESC, e.vec_id) AS rnk
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    ),
+    hubs AS (
+      SELECT neighbor_id, COUNT(*) AS n_appearances
+      FROM ranked WHERE rnk <= 5 GROUP BY neighbor_id
+    )
+    SELECT n_appearances, COUNT(*) AS n_vectors
+    FROM hubs GROUP BY n_appearances ORDER BY n_appearances
+    """,
+    tags=("llm", "similarity", "hubness", "audit"),
+)
+def q198_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit: how often each corpus vector appears in the exact
+    top-5 lists of a deterministic 50-query audit sample, histogrammed
+    by appearance count. A heavy tail (one vector neighboring
+    everything) is the classic high-dimensional hubness pathology —
+    retrieval quality collapses onto a few hub documents, and it
+    co-occurs with the anisotropy q197 measures. Same audit-sample
+    economics as q143: the exact kNN runs only sample x corpus with
+    the sample broadcast; the rollups are id-sized aggregates."""
+    from ..operators.similarity import brute_force_topk_cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    topk = brute_force_topk_cosine(q, emb, k=5).select("neighbor_id")
+    hubs = topk.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("n_appearances")
+    )
+    return (
+        hubs.groupBy("n_appearances")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("n_appearances")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — population stability index (PSI) drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_psi_value_drift",
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)
+                  || ':psi'), 1, 2) AS INTEGER) < 128
+                  THEN 'a' ELSE 'b' END AS cohort
+      FROM events
+    ),
+    bounds AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM g),
+    bucketed AS (
+      SELECT cohort,
+             LEAST(9, CAST(FLOOR((value - b.mn) * 10 / (b.mx - b.mn))
+                           AS INTEGER)) AS bucket
+      FROM g CROSS JOIN bounds b
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS ta,
+             SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS tb
+      FROM bucketed
+    ),
+    per AS (
+      SELECT bucket,
+             SUM(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS nb
+      FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           ROUND((CAST(na + 1 AS DOUBLE) / (t.ta + 10)
+                  - CAST(nb + 1 AS DOUBLE) / (t.tb + 10))
+                 * LN((CAST(na + 1 AS DOUBLE) / (t.ta + 10))
+                      / (CAST(nb + 1 AS DOUBLE) / (t.tb + 10))), 6)
+             AS psi_term
+    FROM per CROSS JOIN tot t ORDER BY bucket
+    """,
+    tags=("llm", "drift", "psi", "monitoring"),
+)
+def q199_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two md5-split cohorts of the
+    event value stream — THE standard production drift metric (PSI >
+    0.2 = investigate): 10 fixed-width buckets over the global range,
+    Laplace-smoothed shares so empty buckets stay finite, per-bucket
+    contribution reported (their sum is the PSI). Here the cohorts are
+    a deterministic A/B split (so expected PSI ~ 0 — the null
+    calibration); in production cohort = snapshot date. Two scans
+    (bounds, then bucket counts), both map-side-combined; shares and
+    log terms are identical double chains on both engines."""
+    ev = load(spark, sf_dir, "events")
+    gate = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":psi"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    g = ev.select(
+        "value", F.when(gate < 128, "a").otherwise("b").alias("cohort")
+    )
+    bounds = g.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bucketed = g.crossJoin(F.broadcast(bounds)).select(
+        "cohort",
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("mn")) * 10 / (F.col("mx") - F.col("mn"))
+            ).cast("int"),
+        ).alias("bucket"),
+    )
+    tot = bucketed.agg(
+        F.sum(F.when(F.col("cohort") == "a", 1).otherwise(0)).alias("ta"),
+        F.sum(F.when(F.col("cohort") == "b", 1).otherwise(0)).alias("tb"),
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("cohort") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("cohort") == "b", 1).otherwise(0)).alias("nb"),
+    )
+    pa = (F.col("na") + 1).cast("double") / (F.col("ta") + 10)
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tb") + 10)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200 — session entry-point conversion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q200_session_entry_conversion",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+               AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT entry_type,
+           COUNT(*) AS n_sessions,
+           SUM(converted) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate
+    FROM per_session GROUP BY entry_type ORDER BY entry_type
+    """,
+    tags=("streaming", "session", "funnel", "attribution"),
+)
+def q200_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution at session grain: which entry event type
+    (the first event of each 30-minute-gap session) converts —
+    sessions containing a purchase over sessions entered that way.
+    This is the report that connects q82's sessionization to revenue
+    decisions (which landing surface earns its traffic). The entry
+    event comes from an order-complete MIN struct (no second window
+    pass) and conversion is a MAX flag, so the whole report is q82's
+    one user-shuffle plus a tiny aggregate."""
+    e = load(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w_order).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_order))
+                >= 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session")
+        .over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "entry_type"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+            F.round(F.sum("converted").cast("double") / F.count(F.lit(1)), 6).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("entry_type")
+    )

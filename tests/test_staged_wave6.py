@@ -32,6 +32,9 @@ STAGED = [
     "q195_mom_revenue_growth",
     "q196_hapax_rate_by_source",
     "q197_embedding_anisotropy_audit",
+    "q198_knn_hubness_audit",
+    "q199_psi_value_drift",
+    "q200_session_entry_conversion",
 ]
 
 
