@@ -55,9 +55,26 @@ def main() -> int:
     specs = all_queries()
     spark = get_spark("check_correctness")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # The oracle connection is RECYCLED every few dozen queries: a full
+    # 200-entry sweep shares one process with Spark's 48g JVM, and a
+    # single long-lived DuckDB connection accumulates enough allocator
+    # state across the big unrolled-CTE oracles that tiny allocations
+    # eventually fail ("Out of Memory Error ... (bad allocation)") even
+    # with >100 GB free — every entry passes in isolation. A fresh
+    # connection (with a bounded memory_limit so big oracles spill
+    # instead of ballooning) drops that state.
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute("SET memory_limit='8GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    con = fresh_con()
+    n_since_recycle = 0
 
     n_pass = n_fail = n_rows_only = 0
     for name, spec in sorted(specs.items()):
@@ -76,6 +93,11 @@ def main() -> int:
             print(f"rows-only {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
             n_rows_only += 1
             continue
+        if n_since_recycle >= 40:
+            con.close()
+            con = fresh_con()
+            n_since_recycle = 0
+        n_since_recycle += 1
         try:
             res = con.execute(spec.oracle)
             ocols = [d[0] for d in res.description]
