@@ -1382,3 +1382,272 @@ def q200_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("entry_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — duplicate-graph triangle census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q201_dup_graph_triangles",
+    oracle=f"""
+    WITH {_sql_minhash_pairs(0.5)},
+    e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS d FROM (
+        SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wed AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg)
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           t.n_triangles,
+           CAST(w.n_wedges AS BIGINT) AS n_wedges,
+           ROUND(3.0 * t.n_triangles / NULLIF(w.n_wedges, 0), 6)
+             AS global_clustering
+    FROM tri t CROSS JOIN wed w
+    """,
+    tags=("llm", "dedup", "graph", "triangles"),
+)
+def q201_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the verified near-dup graph: edge count,
+    triangle count (ordered a<b<c edge-join — each triangle counted
+    once, never 6 times), wedge count from the degree sequence, and
+    the global clustering coefficient. High clustering says duplicates
+    come in tight families (one canonical survives per family — dedup
+    is cheap); low clustering with high degree says chains, where
+    greedy pair-dropping (q186) over-removes. Joins run on 8-byte ids
+    only; at 100 TB the standard trick (orient edges low->high degree
+    before the wedge join) bounds the worst key, same doctrine as the
+    q68 bucket cap."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    e = pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+    deg = (
+        e.select(F.col("a").alias("doc_id"))
+        .unionAll(e.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z")).withColumn(
+        "_c", F.lit(1)
+    )
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"], "inner")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wed = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"))
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges.crossJoin(tri)
+        .crossJoin(wed)
+        .select(
+            "n_edges",
+            "n_triangles",
+            F.col("n_wedges").cast("bigint").alias("n_wedges"),
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.nullif(F.col("n_wedges"), F.lit(0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — SCD2 point-in-time join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_scd2_point_in_time_join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS snap_date,
+             CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    snap AS (SELECT user_id, snap_date, k // 25 AS tier FROM ev WHERE rn = 1),
+    ver AS (
+      SELECT user_id, snap_date, tier,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY snap_date) AS seq,
+             LAG(tier) OVER (PARTITION BY user_id ORDER BY snap_date) AS prev_tier
+      FROM snap
+    ),
+    hist AS (
+      SELECT user_id, tier, snap_date AS effective_from,
+             LEAD(snap_date) OVER (PARTITION BY user_id ORDER BY snap_date)
+               AS effective_to
+      FROM ver WHERE seq = 1 OR tier IS DISTINCT FROM prev_tier
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT COALESCE(h.tier, -1) AS tier, p.value
+      FROM p LEFT JOIN hist h
+        ON h.user_id = p.user_id
+       AND p.d >= h.effective_from
+       AND (h.effective_to IS NULL OR p.d < h.effective_to)
+    )
+    SELECT tier,
+           COUNT(*) AS n_purchases,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_value
+    FROM joined GROUP BY tier ORDER BY tier
+    """,
+    tags=("scd", "temporal", "join", "point-in-time"),
+)
+def q202_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the consumer of q147's SCD2
+    history: each purchase attributed to the dimension version that was
+    VALID at purchase time (effective_from <= t < effective_to), never
+    the current one — the join that makes training features
+    leakage-free and restated reports reproducible. Purchases before a
+    user's first version report tier -1. The validity predicate rides
+    the user_id equi-join (one shuffle); the interval band is a
+    join-side filter, q130's interval-join doctrine applied to
+    dimension history."""
+    e = load(spark, sf_dir, "events")
+    w_last = W.partitionBy("user_id", "snap_date").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    snap = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("snap_date"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "snap_date",
+            F.floor(F.col("k") / 25).cast("int").alias("tier"),
+        )
+    )
+    w_ver = W.partitionBy("user_id").orderBy("snap_date")
+    ver = snap.select(
+        "user_id",
+        "snap_date",
+        "tier",
+        F.row_number().over(w_ver).alias("seq"),
+        F.lag("tier").over(w_ver).alias("prev_tier"),
+    )
+    hist = (
+        ver.filter(
+            (F.col("seq") == 1)
+            | ~F.col("tier").eqNullSafe(F.col("prev_tier"))
+        )
+        .select(
+            "user_id",
+            "tier",
+            F.col("snap_date").alias("effective_from"),
+            F.lead("snap_date").over(w_ver).alias("effective_to"),
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    joined = p.join(
+        hist,
+        (p.user_id == hist.user_id)
+        & (F.col("d") >= F.col("effective_from"))
+        & (F.col("effective_to").isNull() | (F.col("d") < F.col("effective_to"))),
+        "left",
+    ).select(F.coalesce(F.col("tier"), F.lit(-1)).alias("tier"), "value")
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203 — deterministic weighted sample (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_weighted_sample",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, source, n_chars,
+             (CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 13)
+                   AS BIGINT) + 1.0) / 4503599627370496.0 AS uni
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(LN(uni) / n_chars, 12) AS es_key
+      FROM u
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS sample_rank
+      FROM keyed
+    )
+    SELECT sample_rank, doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE sample_rank <= 20 ORDER BY sample_rank
+    """,
+    tags=("llm", "sampling", "weighted", "deterministic"),
+)
+def q203_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via Efraimidis–Spirakis
+    exponential keys, fully deterministic: uniform draws come from an
+    md5 hash of the key (not an RNG), each doc gets key ln(u)/weight
+    (weight = n_chars, the log form of u^(1/w)), and the top-20 keys
+    ARE a correct weighted sample. Reruns, engines, and replicas draw
+    the SAME sample (q162's property, now weight-aware) — how a corpus
+    QA pass samples proportionally to byte mass. Keys are rounded to 12
+    decimals before ranking so the libm-LN ulp cannot reorder ties
+    (q165's doctrine); a TopK per partition then one 20-row merge is
+    the whole plan."""
+    docs = load(spark, sf_dir, "documents")
+    uni = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1.0)
+    ) / F.lit(4503599627370496.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(uni) / F.col("n_chars"), 12).alias("es_key"),
+    )
+    return (
+        keyed.select(
+            F.row_number()
+            .over(W.orderBy(F.desc("es_key"), "doc_id"))
+            .alias("sample_rank"),
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .filter(F.col("sample_rank") <= 20)
+        .orderBy("sample_rank")
+    )

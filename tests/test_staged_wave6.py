@@ -35,6 +35,9 @@ STAGED = [
     "q198_knn_hubness_audit",
     "q199_psi_value_drift",
     "q200_session_entry_conversion",
+    "q201_dup_graph_triangles",
+    "q202_scd2_point_in_time_join",
+    "q203_weighted_sample",
 ]
 
 
