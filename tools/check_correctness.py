@@ -93,18 +93,37 @@ def main() -> int:
             print(f"rows-only {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
             n_rows_only += 1
             continue
-        if n_since_recycle >= 40:
+        if n_since_recycle >= 15:
             con.close()
             con = fresh_con()
             n_since_recycle = 0
         n_since_recycle += 1
-        try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
+        # Transient allocator failures (shared process with Spark's JVM:
+        # commit-limit / map-count pressure spikes during heavy Spark
+        # stages, then clears) get ONE retry on a fresh connection after
+        # a GC pause — a persistent failure still FAILs.
+        orows = None
+        for attempt in (1, 2):
+            try:
+                res = con.execute(spec.oracle)
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
+                break
+            except Exception as e:  # noqa: BLE001
+                transient = "allocat" in str(e).lower() or "out of memory" in str(e).lower()
+                if attempt == 1 and transient:
+                    import gc
+
+                    con.close()
+                    gc.collect()
+                    time.sleep(2.0)
+                    con = fresh_con()
+                    n_since_recycle = 0
+                    continue
+                print(f"FAIL {name}: duckdb error: {e}")
+                n_fail += 1
+                break
+        if orows is None:
             continue
 
         problems = []
