@@ -173,10 +173,12 @@ def q154_semdedup_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            COUNT(x.doc_id) AS n_dropped,
            COUNT(*) - COUNT(x.doc_id) AS n_kept,
-           COALESCE(SUM(LEN(STRING_SPLIT(d.text, ' ')))
-                    FILTER (x.doc_id IS NOT NULL), 0) AS tokens_dropped,
-           COALESCE(SUM(LEN(STRING_SPLIT(d.text, ' ')))
-                    FILTER (x.doc_id IS NULL), 0) AS tokens_kept
+           CAST(COALESCE(SUM(CASE WHEN x.doc_id IS NOT NULL
+                    THEN LEN(STRING_SPLIT(d.text, ' ')) END), 0)
+                AS BIGINT) AS tokens_dropped,
+           CAST(COALESCE(SUM(CASE WHEN x.doc_id IS NULL
+                    THEN LEN(STRING_SPLIT(d.text, ' ')) END), 0)
+                AS BIGINT) AS tokens_kept
     FROM documents d LEFT JOIN drops x ON x.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
@@ -433,7 +435,8 @@ def q158_shingle_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
     WITH {_sql_minhash_pairs(0.0)}
     SELECT COUNT(*) AS n_candidates,
-           SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_verified,
+           CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_verified,
            ROUND(CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
                  AS DOUBLE) / COUNT(*), 6) AS precision
     FROM pairs
@@ -1037,7 +1040,7 @@ def q168_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT event_type, SUM(cnt) AS total FROM u GROUP BY event_type)
     SELECT d.event_type, d.decile,
            COUNT(*) AS n_users,
-           SUM(d.cnt) AS n_events,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_events,
            ROUND(CAST(SUM(d.cnt) AS DOUBLE) / MIN(t.total), 6) AS share
     FROM d JOIN tot t ON t.event_type = d.event_type
     GROUP BY d.event_type, d.decile ORDER BY d.event_type, d.decile
@@ -1097,10 +1100,10 @@ def q169_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 2048) AS BIGINT) AS n_seqs,
-           SUM(CASE WHEN start % 2048 + n_tokens > 2048 THEN 1 ELSE 0 END)
-             AS n_straddlers,
+           CAST(SUM(CASE WHEN start % 2048 + n_tokens > 2048 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_straddlers,
            ROUND(CAST(SUM(n_tokens) AS DOUBLE)
                  / (CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 2048) * 2048), 6)
              AS utilization
@@ -1164,11 +1167,12 @@ def q170_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN doc_id <> kept_doc_id THEN 1 ELSE 0 END) AS n_dropped,
-           SUM(CASE WHEN doc_id <> kept_doc_id THEN n_chars ELSE 0 END)
-             AS chars_dropped,
-           SUM(CASE WHEN doc_id = kept_doc_id THEN n_chars ELSE 0 END)
-             AS chars_kept
+           CAST(SUM(CASE WHEN doc_id <> kept_doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN doc_id <> kept_doc_id THEN n_chars ELSE 0 END)
+             AS BIGINT) AS chars_dropped,
+           CAST(SUM(CASE WHEN doc_id = kept_doc_id THEN n_chars ELSE 0 END)
+             AS BIGINT) AS chars_kept
     FROM k GROUP BY source ORDER BY source
     """,
     tags=("llm", "dedup", "prefix", "savings"),
@@ -1238,7 +1242,8 @@ def q171_prefix_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            ROUND(CAST(SUM(dw) AS DOUBLE) / COUNT(*), 6) AS mean_dup_word_frac,
            ROUND(CAST(SUM(db) AS DOUBLE) / COUNT(*), 6) AS mean_dup_bigram_frac,
-           SUM(CASE WHEN db > 0.2 OR dw > 0.3 THEN 1 ELSE 0 END) AS n_repetitive
+           CAST(SUM(CASE WHEN db > 0.2 OR dw > 0.3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_repetitive
     FROM m GROUP BY source ORDER BY source
     """,
     tags=("llm", "quality", "repetition", "drift"),
@@ -1320,7 +1325,7 @@ def q172_repetition_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFra
            COUNT(*) AS n_docs,
            ROUND(CAST(SUM(p.ratio) AS DOUBLE) / COUNT(*), 6)
              AS mean_contamination,
-           SUM(p.hit) AS n_contaminated
+           CAST(SUM(p.hit) AS BIGINT) AS n_contaminated
     FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
     GROUP BY d.source ORDER BY d.source
     """,
@@ -1781,7 +1786,8 @@ _NULL_AUDIT = (
         f"""
     SELECT '{t}' AS table_name, '{c}' AS column_name,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
            ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS null_rate
     FROM {t}"""

@@ -217,13 +217,13 @@ def q185_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     comp AS (SELECT node, MIN(label) AS component_id FROM reach GROUP BY node)
     SELECT d.lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_dropped_greedy,
-           SUM(CASE WHEN c.node IS NOT NULL AND c.component_id <> d.doc_id
-                    THEN 1 ELSE 0 END) AS n_dropped_transitive,
-           SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped_greedy,
+           CAST(SUM(CASE WHEN c.node IS NOT NULL AND c.component_id <> d.doc_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_transitive,
+           CAST(SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
              - SUM(CASE WHEN c.node IS NOT NULL AND c.component_id <> d.doc_id
-                        THEN 1 ELSE 0 END) AS greedy_minus_transitive
+                        THEN 1 ELSE 0 END) AS BIGINT) AS greedy_minus_transitive
     FROM documents d
     LEFT JOIN greedy_drops g ON g.doc_id = d.doc_id
     LEFT JOIN comp c ON c.node = d.doc_id
@@ -373,8 +373,8 @@ def q187_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN ts_us < max_seen_us - 600000000 THEN 1 ELSE 0 END)
-             AS n_late,
+           CAST(SUM(CASE WHEN ts_us < max_seen_us - 600000000 THEN 1 ELSE 0
+                END) AS BIGINT) AS n_late,
            ROUND(CAST(SUM(CASE WHEN ts_us < max_seen_us - 600000000
                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
              AS late_rate,
@@ -434,7 +434,7 @@ def q188_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pertok AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
     mx AS (SELECT MAX(doc_id) AS m FROM pertok),
     cps AS (
-      SELECT CAST(i * mx.m / 10 AS BIGINT) AS cp
+      SELECT CAST((i * mx.m) // 10 AS BIGINT) AS cp
       FROM (SELECT UNNEST(RANGE(1, 11)) AS i) r CROSS JOIN mx
     ),
     curve AS (
@@ -483,7 +483,7 @@ def q189_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cps = (
         spark.range(1, 11)
         .crossJoin(F.broadcast(mx))
-        .select((F.col("id") * F.col("m") / 10).cast("bigint").alias("cp"))
+        .select(F.expr("id * m div 10").cast("bigint").alias("cp"))
     )
     cum = (
         pertok.crossJoin(F.broadcast(cps))
@@ -546,8 +546,8 @@ def q189_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(m.n) AS BIGINT) AS n_events,
            ROUND(MIN(m.mean_v), 6) AS mean_value,
            ROUND(MIN(m.sd_v), 6) AS sd_value,
-           SUM(CASE WHEN ABS(e.value - m.mean_v) > 3 * m.sd_v
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN ABS(e.value - m.mean_v) > 3 * m.sd_v
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            ROUND(CAST(SUM(CASE WHEN ABS(e.value - m.mean_v) > 3 * m.sd_v
                               THEN 1 ELSE 0 END) AS DOUBLE) / MIN(m.n), 6)
              AS outlier_rate
@@ -634,11 +634,12 @@ def q190_value_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_purchases,
-           SUM(CASE WHEN match_class = 'within_7d' THEN 1 ELSE 0 END)
-             AS n_within_7d,
-           SUM(CASE WHEN match_class = 'stale' THEN 1 ELSE 0 END) AS n_stale,
-           SUM(CASE WHEN match_class = 'no_signup' THEN 1 ELSE 0 END)
-             AS n_no_signup
+           CAST(SUM(CASE WHEN match_class = 'within_7d' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_within_7d,
+           CAST(SUM(CASE WHEN match_class = 'stale' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_stale,
+           CAST(SUM(CASE WHEN match_class = 'no_signup' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_no_signup
     FROM p GROUP BY user_id ORDER BY user_id
     """,
     tags=("streaming", "asof", "join", "tolerance"),
@@ -956,7 +957,8 @@ def q195_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT source, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
     SELECT source,
            COUNT(*) AS vocab_size,
-           SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
            ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS hapax_rate
     FROM v GROUP BY source ORDER BY source
@@ -1225,8 +1227,9 @@ def q198_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(nb AS BIGINT) AS n_b,
            ROUND((CAST(na + 1 AS DOUBLE) / (t.ta + 10)
                   - CAST(nb + 1 AS DOUBLE) / (t.tb + 10))
-                 * LN((CAST(na + 1 AS DOUBLE) / (t.ta + 10))
-                      / (CAST(nb + 1 AS DOUBLE) / (t.tb + 10))), 6)
+                 * CAST(CAST(LN((CAST(na + 1 AS DOUBLE) / (t.ta + 10))
+                              / (CAST(nb + 1 AS DOUBLE) / (t.tb + 10)))
+                        AS DECIMAL(18,6)) AS DOUBLE), 6)
              AS psi_term
     FROM per CROSS JOIN tot t ORDER BY bucket
     """,
@@ -1240,8 +1243,10 @@ def q199_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution reported (their sum is the PSI). Here the cohorts are
     a deterministic A/B split (so expected PSI ~ 0 — the null
     calibration); in production cohort = snapshot date. Two scans
-    (bounds, then bucket counts), both map-side-combined; shares and
-    log terms are identical double chains on both engines."""
+    (bounds, then bucket counts), both map-side-combined; the LN output
+    is quantized to DECIMAL(18,6) before the product (q166/q128
+    doctrine) so a last-ulp libm difference cannot flip the 6-decimal
+    round."""
     ev = load(spark, sf_dir, "events")
     gate = F.conv(
         F.substring(
@@ -1279,7 +1284,11 @@ def q199_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.col("na").cast("bigint").alias("n_a"),
             F.col("nb").cast("bigint").alias("n_b"),
-            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+            F.round(
+                (pa - pb)
+                * F.log(pa / pb).cast("decimal(18,6)").cast("double"),
+                6,
+            ).alias("psi_term"),
         )
         .orderBy("bucket")
     )
@@ -1320,7 +1329,7 @@ def q199_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT entry_type,
            COUNT(*) AS n_sessions,
-           SUM(converted) AS n_converted,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
            ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
              AS conversion_rate
     FROM per_session GROUP BY entry_type ORDER BY entry_type
@@ -1478,7 +1487,9 @@ def q201_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ),
-    snap AS (SELECT user_id, snap_date, k // 25 AS tier FROM ev WHERE rn = 1),
+    snap AS (SELECT user_id, snap_date,
+                    CAST(FLOOR(k / 25.0) AS INTEGER) AS tier
+             FROM ev WHERE rn = 1),
     ver AS (
       SELECT user_id, snap_date, tier,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY snap_date) AS seq,
