@@ -1,16 +1,12 @@
-"""LLM-ops wave 6 (STAGED for round-6 registration): session and
-stream health, dedup-topology audits, and sampling/statistical design
-— the second ring of curation machinery around waves 1-5.
+"""LLM-ops wave 6 (registered in round 6): session and stream health,
+dedup-topology audits, and sampling/statistical design — the second
+ring of curation machinery around waves 1-5.
 
-This module is NOT in registry._QUERY_MODULES: the round-5 driver
-budget is fully allocated (q82/q84 re-attestation + wave 5 = 32 tier-1
-entries). It is value-checked exactly like the live catalog via
-
-    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops5 \
-        python tools/check_correctness.py /root/testdata/sf0.01
-
-and by tests/test_staged_wave6.py; round 6 promotes it by adding the
-module name to _QUERY_MODULES (one line) and retiering.
+Staged behind SPARK_GRAFT_EXTRA_MODULES during round 5 while the
+driver budget cleared, then promoted into registry._QUERY_MODULES in
+round 6 after hardening every oracle output against the HUGEINT
+canonicalization trap (see registry module docstring) and the
+cross-engine integer-division/LN-quantization fixes (q189/q199/q202).
 
 Reference parity: the reference's one daily DAG validates, transforms,
 and alerts (dags/Final_app.py:79-149); these entries keep extending

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.streaming_queries",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops3",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops4",
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops5",
 )
 
 
@@ -66,27 +67,55 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Driver-priority tiering, recomputed each round from the union of
-# CORRECTNESS_r*.json rows (latest attestation wins; the driver attests
-# ~50 queries per round, first-come-first-served over queries() order).
-#
-# After round 4 every registered entry q01-q153 carries a driver-green
-# row in the r01∪r02∪r03∪r04 union — but the round-4 judge verified
-# q82/q84 broken under the Spark-4/TIMESTAMP_NTZ fixture drift (fixed
-# in sources/tables.py this round), so their green rows are stale.
-# Tiers for the round-5 run:
-#   tier 1 — q82/q84 (re-attest the fix) + the new wave 5 (q154-q183,
-#            plans/llm_ops4.py), registration order: 32 entries,
-#            within the ~50-query driver budget;
-#   tier 2 — attested greens (registration order).
-_ATTESTED_GREEN = frozenset(f"q{i:02d}" for i in range(1, 154)) - {"q82", "q84"}
+# Driver-priority tiering, computed from the CORRECTNESS_r*.json files
+# the driver leaves in the repo root (latest attestation per query wins;
+# the driver attests ~50 queries per round, first-come-first-served over
+# queries() order). Derived, not hand-maintained:
+#   tier 1 — never attested, or latest attestation red: must re-attest;
+#   tier 2 — attested green, oldest attestation first (the union rots
+#            as shared helpers change, so stale greens recycle through
+#            the driver budget before fresh ones).
+def _attestation_state() -> dict[str, tuple[int, bool]]:
+    """name -> (last attested round, was green) from CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    state: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+            )
+            prev = state.get(name)
+            if prev is None or rnd >= prev[0]:
+                state[name] = (rnd, green)
+    return state
+
+
+_ATTESTATION = _attestation_state()
 
 
 def _priority(name: str) -> tuple[int, int]:
-    key = name.split("_", 1)[0]
-    if key.lstrip("q").isdigit() and f"q{int(key[1:]):02d}" in _ATTESTED_GREEN:
-        return (2, 0)
-    return (1, 0)
+    att = _ATTESTATION.get(name)
+    if att is None or not att[1]:
+        return (1, 0)  # unattested or red: front of the driver budget
+    return (2, att[0])  # green: staler attestations recycle first
 
 
 def all_queries() -> dict[str, QuerySpec]:

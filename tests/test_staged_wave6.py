@@ -1,8 +1,7 @@
-"""Staged wave-6 catalog entries (plans/llm_ops5.py): value-level
-oracle comparison at sf0.001 — the same gate tools/check_correctness.py
-applies to the live catalog, run in pytest because the module is not in
-registry._QUERY_MODULES until round 6 (driver-budget staging; see the
-module docstring)."""
+"""Wave-6 catalog entries (plans/llm_ops5.py): value-level oracle
+comparison at sf0.001 — the same gate tools/check_correctness.py
+applies to the whole catalog, kept as pytest coverage after the
+module's round-6 promotion into registry._QUERY_MODULES."""
 
 from __future__ import annotations
 
@@ -81,10 +80,19 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert _norm(srows, sdf.columns) == _norm(orows, ocols)
 
 
-def test_staged_wave6_not_registered_in_driver_contract(monkeypatch):
-    """The round-5 driver must see exactly the 183-entry live catalog:
-    llm_ops5 only joins via SPARK_GRAFT_EXTRA_MODULES until round 6."""
+def test_wave6_registered_in_driver_contract(monkeypatch):
+    """Round 6 promoted wave 6: the driver must see the full 203-entry
+    catalog without any SPARK_GRAFT_EXTRA_MODULES assistance, with the
+    never-attested entries tiered ahead of stale greens."""
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
-    from airflow_scraping_etl_tutorial_spark.plans.registry import _QUERY_MODULES
+    from airflow_scraping_etl_tutorial_spark.plans.registry import (
+        _QUERY_MODULES,
+        all_queries,
+    )
 
-    assert "llm_ops5" not in ",".join(_QUERY_MODULES)
+    assert "llm_ops5" in ",".join(_QUERY_MODULES)
+    names = list(all_queries())
+    assert len(names) == 203
+    # the 20 wave-6 entries are unattested -> tier 1, ahead of every
+    # green-attested entry (the driver budget covers them first)
+    assert all(n in names[:50] for n in STAGED)
