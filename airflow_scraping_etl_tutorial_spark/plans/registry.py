@@ -129,10 +129,19 @@ def all_queries() -> dict[str, QuerySpec]:
     the round's attestation debt clears, while still being value-
     checked by tools/check_correctness.py and pytest in the meantime.
     """
+    allowed = set(_QUERY_MODULES)
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     for mod in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_MODULES", "").split(",")):
         importlib.import_module(mod)
+        allowed.add(mod)
+    # _REGISTRY is process-global: a staged module imported elsewhere in
+    # the same process (e.g. its pytest file) registers its entries for
+    # the process lifetime. The driver contract is only the declared
+    # modules, so filter stray registrations out.
     order = {n: i for i, n in enumerate(_REGISTRY)}
-    names = sorted(_REGISTRY, key=lambda n: (_priority(n), order[n]))
+    names = sorted(
+        (n for n in _REGISTRY if _REGISTRY[n].fn.__module__ in allowed),
+        key=lambda n: (_priority(n), order[n]),
+    )
     return {n: _REGISTRY[n] for n in names}
