@@ -1,19 +1,14 @@
-"""LLM-ops wave 7 (STAGED for round-7 registration): incremental-ingest
+"""LLM-ops wave 7 (PROMOTED mid-round 6): incremental-ingest
 membership screening, dedup/LSH parameter tuning audits, corpus budget
 planning, and embedding-space hygiene — the third ring of curation
 machinery around waves 1-6.
 
-This module is NOT in registry._QUERY_MODULES: the round-6 driver
-budget is fully allocated (8 re-attesting wave-5 entries + 20 promoted
-wave-6 entries = 28 tier-1). It is value-checked exactly like the live
-catalog via
-
-    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops6 \\
-        python tools/check_correctness.py /root/testdata/sf0.01
-
-and by tests/test_staged_wave7.py; round 7 promotes it by adding the
-module name to _QUERY_MODULES (one line) — tiering adapts automatically
-from the CORRECTNESS_r*.json files.
+Originally staged behind SPARK_GRAFT_EXTRA_MODULES; promoted into
+registry._QUERY_MODULES once all 11 entries passed the strict-float
+oracle gate at sf0.001 AND sf0.01. Tier-1 driver load this round is
+8 re-attesting wave-5 + 20 wave-6 + 11 wave-7 = 39 of the ~50-entry
+budget, leaving ~11 slots for the stalest greens (registry tiering
+handles both automatically from the CORRECTNESS_r*.json files).
 
 Output-hardening doctrine (the round-6 HUGEINT lesson, applied from
 birth): every integer aggregate that DuckDB would return as HUGEINT is

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops3",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops4",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops5",
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops6",
 )
 
 

@@ -83,13 +83,20 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert _norm(srows, sdf.columns) == _norm(orows, ocols)
 
 
-def test_staged_wave7_not_registered_in_driver_contract(monkeypatch):
-    """The round-6 driver must see exactly the 203-entry live catalog:
-    llm_ops6 only joins via SPARK_GRAFT_EXTRA_MODULES until round 7."""
+def test_wave7_registered_in_driver_contract(monkeypatch):
+    """Round 6 promoted wave 7 mid-round (all 11 entries strict-local
+    green at sf0.01): the driver sees the 214-entry catalog with the
+    never-attested wave-6/7 entries tiered inside the ~50-entry budget."""
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
-    from airflow_scraping_etl_tutorial_spark.plans.registry import _QUERY_MODULES
+    from airflow_scraping_etl_tutorial_spark.plans.registry import (
+        _QUERY_MODULES,
+        all_queries,
+    )
 
-    assert "llm_ops6" not in ",".join(_QUERY_MODULES)
+    assert "llm_ops6" in ",".join(_QUERY_MODULES)
+    names = list(all_queries())
+    assert len(names) == 214
+    assert all(n in names[:50] for n in STAGED)
 
 
 # ---------------------------------------------------------------------------
