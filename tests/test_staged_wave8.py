@@ -1,0 +1,171 @@
+"""Staged wave-8 catalog entries (plans/llm_ops7.py): value-level
+oracle comparison at sf0.001 — the same gate tools/check_correctness.py
+applies to the live catalog, run in pytest because the module is not in
+registry._QUERY_MODULES until round 7 (driver-budget staging; see the
+module docstring) — plus structural invariants of the sketches and
+the cross-engine levenshtein-parity property q218 relies on."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_scraping_etl_tutorial_spark.plans import llm_ops7  # noqa: F401  (registers)
+from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+STAGED = [
+    "q215_hll_distinct_audit",
+    "q216_countmin_heavy_hitters",
+    "q217_event_markov_transitions",
+    "q218_edit_distance_verify",
+    "q219_join_key_skew_audit",
+    "q220_embedding_cohort_drift",
+    "q221_incremental_snapshot_delta",
+    "q222_time_to_conversion",
+    "q223_assoc_rule_lift",
+    "q224_token_rank_drift",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def nv(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else v
+        return str(v)
+
+    out = [tuple(nv(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_query_matches_oracle(spark, duck, name):
+    spec = _REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    srows = sdf.collect()
+    rel = duck.sql(spec.oracle)
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    orows = rel.fetchall()
+    assert len(srows) > 0, "staged queries must be non-empty at sf0.001"
+    assert not any("HUGEINT" in t for t in otypes), (
+        "oracle output contains HUGEINT — the round-6 lesson: "
+        f"cast to BIGINT ({dict(zip(ocols, otypes))})"
+    )
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert _norm(srows, sdf.columns) == _norm(orows, ocols)
+
+
+def test_staged_wave8_not_registered_in_driver_contract(monkeypatch):
+    """The round-6 driver must see exactly the 214-entry live catalog:
+    llm_ops7 only joins via SPARK_GRAFT_EXTRA_MODULES until round 7."""
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
+    from airflow_scraping_etl_tutorial_spark.plans.registry import (
+        _QUERY_MODULES,
+        all_queries,
+    )
+
+    assert "llm_ops7" not in ",".join(_QUERY_MODULES)
+    names = list(all_queries())
+    assert len(names) == 214
+    assert not any(n.startswith("q21{}_".format(d)) for n in names for d in (5, 6))
+
+
+# ---------------------------------------------------------------------------
+# Structural invariants
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_never_undercounts(spark):
+    """CM sketch point estimates are upper bounds by construction."""
+    rows = _REGISTRY["q216_countmin_heavy_hitters"].fn(spark, SF_DIR).collect()
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cm_estimate >= r.exact_count for r in rows)
+
+
+def test_hll_estimate_within_theory(spark):
+    """Raw HLL with m=256 has ~6.5% standard error; assert a generous
+    5-sigma band so the test survives any fixture drop."""
+    row = _REGISTRY["q215_hll_distinct_audit"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_buckets_used <= 256
+    assert abs(row.rel_error) < 5 * 1.04 / math.sqrt(256)
+
+
+def test_markov_rows_are_distributions(spark):
+    """Per from_type, transition probabilities sum to ~1 (rounding)."""
+    rows = _REGISTRY["q217_event_markov_transitions"].fn(spark, SF_DIR).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.prob
+    for v in by_from.values():
+        assert abs(v - 1.0) < 1e-4
+
+
+def test_levenshtein_ascii_parity(spark):
+    """On printable-ASCII strings Spark (codepoint) and DuckDB (byte)
+    levenshtein coincide — the q218 precondition."""
+    pairs = [
+        ("kitten", "sitting"),
+        ("", "abc"),
+        ("the quick brown fox", "the quick brown cat"),
+        ("a" * 50, "a" * 30 + "b" * 20),
+    ]
+    srows = (
+        spark.createDataFrame(pairs, "a string, b string")
+        .select(F.levenshtein("a", "b").alias("d"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for (a, b), s in zip(pairs, srows):
+        (d,) = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()
+        assert d == s.d
+
+
+def test_incremental_delta_equals_window_aggregate(spark, duck):
+    """IVM identity: per changed month, delta == SUM over exactly the
+    rows in (cutoff_old, cutoff_new] — the incremental refresh input."""
+    rows = _REGISTRY["q221_incremental_snapshot_delta"].fn(spark, SF_DIR).collect()
+    expected = dict(
+        duck.execute(
+            """
+        WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders)
+        SELECT STRFTIME(o_orderdate, '%Y-%m'),
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        FROM orders CROSS JOIN mx
+        WHERE CAST(o_orderdate AS DATE) > mx.d - 730
+          AND CAST(o_orderdate AS DATE) <= mx.d - 365
+        GROUP BY 1
+        """
+        ).fetchall()
+    )
+    got = {r.o_month: r.rev_delta for r in rows}
+    assert got == expected
+
+
+def test_conversion_cdf_monotone(spark):
+    rows = _REGISTRY["q222_time_to_conversion"].fn(spark, SF_DIR).collect()
+    cdfs = [r.conversion_cdf for r in rows]
+    assert cdfs == sorted(cdfs)
+    assert all(0.0 <= c <= 1.0 for c in cdfs)
