@@ -55,6 +55,35 @@ _HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
 _HLL_NUM = repr(_HLL_ALPHA_M2 * float(1 << 30))
 
 
+def hll_registers(tok_df: DataFrame) -> DataFrame:
+    """(tok) -> (bucket, reg, n): the HLL register vector plus the
+    exact per-bucket distinct count the audit compares against.
+
+    The sketch state is `reg` alone: register vectors built on any
+    partition of the data merge to the whole-data vector by
+    elementwise MAX (tested in tests/test_staged_wave8.py) — `n` is
+    audit bookkeeping and merges only for disjoint token sets."""
+    hv = (
+        tok_df.distinct()
+        .select(
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hv")
+        )
+    )
+    r = hv.select(
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(53))
+        .otherwise(
+            F.lit(52) - F.length(F.conv(F.expr(f"hv div {_HLL_M}"), 10, 2)) + 1
+        )
+        .alias("rho"),
+    )
+    return r.groupBy("bucket").agg(
+        F.max("rho").alias("reg"), F.count(F.lit(1)).alias("n")
+    )
+
+
 @query(
     "q215_hll_distinct_audit",
     oracle=f"""
@@ -129,26 +158,7 @@ def q215_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined); registers are a 256-row aggregate. rel_error ~ 1.04/16
     ≈ 6.5% by theory."""
     docs = load(spark, sf_dir, "documents")
-    toks = (
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-        .select(
-            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("hv")
-        )
-    )
-    r = toks.select(
-        (F.col("hv") % _HLL_M).alias("bucket"),
-        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(53))
-        .otherwise(
-            F.lit(52) - F.length(F.conv(F.expr(f"hv div {_HLL_M}"), 10, 2)) + 1
-        )
-        .alias("rho"),
-    )
-    regs = r.groupBy("bucket").agg(
-        F.max("rho").alias("reg"), F.count(F.lit(1)).alias("n")
-    )
+    regs = hll_registers(docs.select(F.explode(F.split("text", " ")).alias("tok")))
     denom = F.sum(
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - LEAST(reg, 30) AS INT))")
     ) + F.expr(

@@ -110,3 +110,53 @@ def test_events_ts_normalized_for_all_on_disk_formats(spark, tmp_path):
             .collect()
         ]
         assert got == micros, name
+
+
+def test_real_http_client_against_recorded_cassette(spark, monkeypatch):
+    """S1 cassette test: the REAL client (_http_get_json -> urlopen,
+    nothing stubbed) fetches the recorded golden TWSE payload from a
+    local HTTP server and the result flows through the full transform
+    to the exact 13-column sink row. This closes the gap between the
+    module-seam stubs above and the reference's live fetch
+    (dags/Final_app.py:26-28): the bytes on the wire, the HTTP status
+    handling, and the JSON decode path are all the production ones —
+    only the host differs."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from airflow_scraping_etl_tutorial_spark.sources.golden import (
+        GOLDEN_OK_EXPECTED,
+    )
+
+    requested = []
+
+    class _Cassette(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            requested.append(self.path)
+            body = json.dumps(GOLDEN_OK).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # silence test output
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), _Cassette)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setattr(
+            twse,
+            "TWSE_URL",
+            f"http://127.0.0.1:{srv.server_port}"
+            "/fund/BFI82U?response=json&dayDate={date}",
+        )
+        df = twse.fetch_payloads(spark, ["20220819"])
+        # the client sent the reference's exact query string
+        assert requested == ["/fund/BFI82U?response=json&dayDate=20220819"]
+        row = pivot_to_sink_schema(clean_long(df)).first().asDict()
+        assert row == GOLDEN_OK_EXPECTED
+    finally:
+        srv.shutdown()

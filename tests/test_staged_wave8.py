@@ -169,3 +169,58 @@ def test_conversion_cdf_monotone(spark):
     cdfs = [r.conversion_cdf for r in rows]
     assert cdfs == sorted(cdfs)
     assert all(0.0 <= c <= 1.0 for c in cdfs)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The distributed-correctness property that makes q215 a sketch:
+    register vectors built on any split of the corpus merge to the
+    whole-corpus vector by elementwise MAX — what per-partition /
+    per-stream HLL state relies on at scale."""
+    from airflow_scraping_etl_tutorial_spark.plans.llm_ops7 import hll_registers
+    from airflow_scraping_etl_tutorial_spark.sources.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(F.split("text", " ")).alias("tok")
+    )
+    full = {
+        r.bucket: r.reg
+        for r in hll_registers(toks.select("tok")).collect()
+    }
+    h1 = {
+        r.bucket: r.reg
+        for r in hll_registers(
+            toks.filter(F.col("doc_id") % 2 == 0).select("tok")
+        ).collect()
+    }
+    h2 = {
+        r.bucket: r.reg
+        for r in hll_registers(
+            toks.filter(F.col("doc_id") % 2 == 1).select("tok")
+        ).collect()
+    }
+    merged = {
+        b: max(h1.get(b, 0), h2.get(b, 0)) for b in set(h1) | set(h2)
+    }
+    assert merged == full
+
+
+def test_countmin_counters_merge_by_sum(spark, duck):
+    """CM counters are linear: counters over disjoint halves sum to the
+    whole-corpus counters (the per-partition merge at scale). Verified
+    for hash row 0 via the same md5 derivation in DuckDB."""
+    q = """
+    SELECT CAST('0x' || SUBSTR(MD5(tok || ':cm0'), 1, 15) AS BIGINT) % 64 AS k,
+           CAST(SUM(c) AS BIGINT) AS v
+    FROM (SELECT tok, COUNT(*) AS c
+          FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                FROM documents) t {where} GROUP BY tok)
+    GROUP BY k
+    """
+    full = dict(duck.execute(q.format(where="")).fetchall())
+    h1 = dict(duck.execute(q.format(where="WHERE doc_id % 2 = 0")).fetchall())
+    h2 = dict(duck.execute(q.format(where="WHERE doc_id % 2 = 1")).fetchall())
+    merged = {
+        k: h1.get(k, 0) + h2.get(k, 0) for k in set(h1) | set(h2)
+    }
+    assert merged == full
