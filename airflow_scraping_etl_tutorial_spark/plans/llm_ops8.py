@@ -1,0 +1,486 @@
+"""LLM-ops wave 9 (STAGED for round-7 registration): exact-recall
+set-similarity joins, integer-arithmetic graph centrality, optimizer
+planning audits, physical-layout planning, and forensic value
+distributions — the fifth ring of curation machinery around waves 1-8.
+
+This module is NOT in registry._QUERY_MODULES (same staging protocol as
+wave 8 — see plans/llm_ops7.py's docstring): value-checked via
+
+    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops8 \\
+        python tools/check_correctness.py /root/testdata/sf0.01
+
+and by tests/test_staged_wave9.py; round 7 promotes it with one line.
+
+Output-hardening doctrine (as waves 6-8): BIGINT-cast integer
+aggregates, single-division rounded ratios, truncating integer
+division (`div` / `//`) on nonnegative operands, shared Python-
+computed double literals for constants (Benford expectations), and no
+floating accumulation anywhere an integer or decimal form exists —
+q226's PageRank runs ENTIRELY in scaled int64.
+
+Reference parity: the reference's pipeline is one join-free daily
+load; these entries generalize the planning/verification posture its
+validation step implies (dags/Final_app.py:79-87) to the decisions a
+100 TB deployment makes before running: which join strategy
+(cardinality estimate, q227), how to lay out files (q228), which pairs
+to verify (prefix filtering, q225), and whether the numbers look
+organic at all (Benford, q229).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_near_duplicates
+from ..sources.tables import load
+from .llm_ops import _sql_minhash_pairs
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q225 — prefix-filtered set-similarity join (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+_PF_T = 0.5  # Jaccard threshold; prefix length n - ceil(t*n) + 1
+
+
+@query(
+    "q225_prefix_filter_setjoin",
+    oracle="""
+    WITH tp AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+      ) t
+    ),
+    dfx AS (SELECT tok, COUNT(*) AS dfc FROM tp GROUP BY tok),
+    rk AS (
+      SELECT t.doc_id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.dfc, t.tok) AS rk,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM tp t JOIN dfx d ON d.tok = t.tok
+    ),
+    pref AS (
+      SELECT doc_id, tok FROM rk WHERE rk <= n - ((n + 1) // 2) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM pref a JOIN pref b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+      SELECT doc_id, LIST(tok) AS lst, COUNT(*) AS n FROM tp GROUP BY doc_id
+    )
+    SELECT c.doc_id_a, c.doc_id_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(sa.lst, sb.lst)) AS DOUBLE)
+                 / (sa.n + sb.n - LEN(LIST_INTERSECT(sa.lst, sb.lst))), 6)
+             AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.doc_id_a
+    JOIN sets sb ON sb.doc_id = c.doc_id_b
+    WHERE ROUND(CAST(LEN(LIST_INTERSECT(sa.lst, sb.lst)) AS DOUBLE)
+                / (sa.n + sb.n - LEN(LIST_INTERSECT(sa.lst, sb.lst))), 6)
+            >= 0.5
+    ORDER BY doc_id_a, doc_id_b
+    """,
+    tags=("llm", "dedup", "setjoin", "prefixfilter"),
+)
+def q225_prefix_filter_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall set-similarity self-join via prefix filtering (the
+    PPJoin family): order each doc's distinct tokens by global
+    document frequency (rarest first), keep only the length-
+    (n - ceil(t*n) + 1) prefix, and generate candidates from docs
+    sharing a PREFIX token. Pigeonhole guarantee: two sets with
+    Jaccard >= t MUST share a prefix token, so unlike MinHash-LSH
+    (q68, probabilistic recall) this finds EVERY qualifying pair —
+    the algorithm of choice when the dedup SLA says "no missed
+    duplicates". Candidates are then verified with exact Jaccard on
+    the full token sets.
+
+    Scale: the df-rank pass is one token-keyed aggregate + one
+    doc-keyed window; the candidate join's cost is sum of
+    prefix-token bucket^2 — and because prefixes keep the RAREST
+    tokens, hot tokens (stopwords) never enter the index, the same
+    economics `max_shingle_df` buys q70 but guarantee-preserving.
+    Verification touches candidates only."""
+    docs = load(spark, sf_dir, "documents")
+    tp = (
+        docs.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    dfx = tp.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    wr = W.partitionBy("doc_id").orderBy("dfc", "tok")
+    wn = W.partitionBy("doc_id")
+    rk = tp.join(dfx, "tok").select(
+        "doc_id",
+        "tok",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pref = rk.filter(
+        F.col("rk") <= F.col("n") - F.expr("(n + 1) div 2") + 1
+    ).select("doc_id", "tok")
+    a = pref.select(F.col("doc_id").alias("doc_id_a"), "tok")
+    b = pref.select(F.col("doc_id").alias("doc_id_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sets = tp.groupBy("doc_id").agg(
+        F.collect_set("tok").alias("lst"), F.count(F.lit(1)).alias("n")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("lst").alias("la"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lst").alias("lb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("la", "lb"))
+    jacc = F.round(
+        inter.cast("double") / (F.col("na") + F.col("nb") - inter), 6
+    )
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= _PF_T)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q226 — dup-graph PageRank in scaled integer arithmetic
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000  # r is a fixed-point int: 1.0 == 10^9
+_PR_BASE = 150_000_000  # 0.15 * SCALE
+
+
+def _sql_pr_iter(prev: str, out: str) -> str:
+    """One PageRank iteration: r' = 0.15 + 0.85 * sum_in(r/deg), all
+    in truncating scaled-int64 arithmetic (identical on both engines:
+    DuckDB `//` floors on ints, Spark `div` truncates; operands are
+    nonnegative so floor == truncate)."""
+    return f"""
+    {out} AS (
+      SELECT e.d AS node,
+             {_PR_BASE} + (85 * SUM(p.r // g.dg)) // 100 AS r
+      FROM e
+      JOIN {prev} p ON p.node = e.s
+      JOIN deg g ON g.node = e.s
+      GROUP BY e.d
+    )"""
+
+
+@query(
+    "q226_dup_graph_pagerank",
+    oracle=f"""
+    WITH {_sql_minhash_pairs(0.5)},
+    e AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS s, doc_id_a AS d FROM pairs
+    ),
+    deg AS (SELECT s AS node, COUNT(*) AS dg FROM e GROUP BY s),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
+    {_sql_pr_iter("r0", "r1")},
+    {_sql_pr_iter("r1", "r2")}
+    SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_score
+    FROM r2 ORDER BY rank_score DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "graph", "pagerank", "centrality"),
+)
+def q226_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash near-duplicate graph (two
+    unrolled damped iterations, nodes = docs with at least one
+    verified dup edge): the highest-ranked docs are the template/
+    boilerplate CENTERS — the canonical representatives a keep-one
+    dedup policy should keep, and the complement of q160's raw degree
+    histogram (degree counts neighbors; PageRank weights neighbors by
+    how duplicated THEY are). The entire computation runs in scaled
+    int64 fixed-point (1.0 == 10^9): per-edge contribution r div deg,
+    damping (85 * sum) div 100 — truncating division on nonnegative
+    operands is identical in both engines, so scores are bit-exact
+    with NO floating point at all — the doctrine answer to iterative-
+    algorithm drift.
+
+    Scale: each iteration is one edge-keyed join + aggregate (the
+    textbook Pregel step as DataFrame ops); the iteration count is a
+    fixed constant (2), not data-dependent, so the catalog entry stays
+    deterministic (the data-dependent-convergence variant lives in
+    operators/cluster.py's label propagation with its documented
+    scalar-collect convergence check)."""
+    docs = load(spark, sf_dir, "documents")
+    # pairs feeds both union branches; e feeds deg + 2 joins/iteration.
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5).persist()
+    e = pairs.select(
+        F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("d"))
+    ).persist()
+    deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("dg"))
+    r = deg.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(2):
+        contrib = (
+            e.join(r, e["s"] == r["node"])
+            .join(deg.withColumnRenamed("node", "gnode"), F.col("s") == F.col("gnode"))
+            .select(F.col("d").alias("node"), F.expr("r div dg").alias("c"))
+        )
+        r = contrib.groupBy("node").agg(
+            (F.lit(_PR_BASE) + F.expr("(85 * SUM(c)) div 100"))
+            .cast("bigint")
+            .alias("r")
+        )
+    from ..functions.caching import tag_intermediates
+
+    out = (
+        r.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_score"))
+        .orderBy(F.col("rank_score").desc(), "doc_id")
+        .limit(20)
+    )
+    return tag_intermediates(out, pairs, e)
+
+
+# ---------------------------------------------------------------------------
+# q227 — join-cardinality estimation audit
+# ---------------------------------------------------------------------------
+
+_CARD_EDGES = (
+    ("orders*lineitem@orderkey", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part*lineitem@partkey", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("customer*orders@custkey", "customer", "c_custkey", "orders", "o_custkey"),
+)
+
+
+def _card_edge_sql(edge: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    return f"""
+    SELECT '{edge}' AS edge,
+           s.na, s.nb, s.da, s.db,
+           (s.na * s.nb) // GREATEST(s.da, s.db) AS est_rows,
+           x.actual_rows,
+           ROUND(CAST((s.na * s.nb) // GREATEST(s.da, s.db) AS DOUBLE)
+                 / x.actual_rows, 6) AS est_over_actual
+    FROM (SELECT CAST((SELECT COUNT(*) FROM {ta}) AS BIGINT) AS na,
+                 CAST((SELECT COUNT(*) FROM {tb}) AS BIGINT) AS nb,
+                 CAST((SELECT COUNT(DISTINCT {ka}) FROM {ta}) AS BIGINT) AS da,
+                 CAST((SELECT COUNT(DISTINCT {kb}) FROM {tb}) AS BIGINT) AS db) s
+    CROSS JOIN (
+      SELECT CAST(SUM(a.ca * b.cb) AS BIGINT) AS actual_rows
+      FROM (SELECT {ka} AS k, COUNT(*) AS ca FROM {ta} GROUP BY {ka}) a
+      JOIN (SELECT {kb} AS k, COUNT(*) AS cb FROM {tb} GROUP BY {kb}) b
+        ON a.k = b.k) x
+    """
+
+
+@query(
+    "q227_join_cardinality_audit",
+    oracle="\nUNION ALL\n".join(_card_edge_sql(*e) for e in _CARD_EDGES)
+    + "\nORDER BY edge",
+    tags=("relational", "optimizer", "cardinality", "audit"),
+)
+def q227_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit for the star schema's three
+    hot equi-joins: the textbook uniform-key estimate
+    |A|*|B| / max(ndv_a, ndv_b) — what a cost-based optimizer computes
+    from table stats — against the TRUE join size computed WITHOUT
+    executing the row join (per-key count tables joined, sum of count
+    products: the distinct-first trick, so the audit costs two
+    key-grain aggregates instead of materializing the join). The
+    est/actual ratio is the optimizer-trust dashboard: a ratio far
+    from 1 on a production key (skew, correlation) is the prelude to
+    a catastrophic plan, and the cue to collect histograms
+    (q219's skew audit) for that key.
+
+    The integer product na*nb is fixture-bounded here; a 10^10-row
+    deployment computes the same estimate in double (one deterministic
+    multiply-divide) to avoid int64 overflow — noted, not needed at
+    catalog scale."""
+    frames = []
+    for edge, ta, ka, tb, kb in _CARD_EDGES:
+        A, B = load(spark, sf_dir, ta), load(spark, sf_dir, tb)
+        stats = A.agg(
+            F.count(F.lit(1)).cast("bigint").alias("na"),
+            F.countDistinct(ka).cast("bigint").alias("da"),
+        ).crossJoin(
+            B.agg(
+                F.count(F.lit(1)).cast("bigint").alias("nb"),
+                F.countDistinct(kb).cast("bigint").alias("db"),
+            )
+        )
+        ca = A.groupBy(F.col(ka).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+        cb = B.groupBy(F.col(kb).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+        actual = (
+            ca.join(cb, "k")
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("actual_rows"))
+        )
+        est = F.expr("(na * nb) div GREATEST(da, db)")
+        frames.append(
+            stats.crossJoin(actual).select(
+                F.lit(edge).alias("edge"),
+                "na",
+                "nb",
+                "da",
+                "db",
+                est.alias("est_rows"),
+                "actual_rows",
+                F.round(est.cast("double") / F.col("actual_rows"), 6).alias(
+                    "est_over_actual"
+                ),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# q228 — partition-layout planner
+# ---------------------------------------------------------------------------
+
+_TARGET_FILE_BYTES = 65536  # fixture-sized stand-in for the 128 MB default
+
+
+@query(
+    "q228_partition_layout_plan",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           CAST((SUM(n_chars) + {_TARGET_FILE_BYTES - 1})
+                // {_TARGET_FILE_BYTES} AS BIGINT) AS n_files,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                 / ((SUM(n_chars) + {_TARGET_FILE_BYTES - 1})
+                    // {_TARGET_FILE_BYTES}), 2) AS mean_file_bytes,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                 / (((SUM(n_chars) + {_TARGET_FILE_BYTES - 1})
+                     // {_TARGET_FILE_BYTES}) * {_TARGET_FILE_BYTES}), 6)
+             AS fill_ratio
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "layout", "planning", "io"),
+)
+def q228_partition_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout planner: per source, the number of output files
+    a repartition-before-write should produce for a target file size,
+    with the resulting mean file size and fill ratio. This is the
+    small-files/giant-files dial that dominates 100 TB scan cost —
+    `spark.sql.files.maxPartitionBytes` slices what you WRITE, so
+    writing ceil(bytes/target) files per partition key (via
+    repartitionByRange or a salt column) is what keeps both the
+    writer's task count and the next reader's split count sane. The
+    ceil is exact integer arithmetic ((b + t - 1) div t); byte mass
+    uses n_chars as the uncompressed proxy the planner would scale by
+    its observed compression ratio.
+
+    One map-side-combined aggregate; output is one row per source."""
+    docs = load(spark, sf_dir, "documents")
+    t = _TARGET_FILE_BYTES
+    files = F.expr(f"(SUM(n_chars) + {t - 1}) div {t}")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_bytes"),
+            files.alias("n_files"),
+            F.round(
+                F.sum("n_chars").cast("double") / files, 2
+            ).alias("mean_file_bytes"),
+            F.round(
+                F.sum("n_chars").cast("double") / (files * t), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229 — Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) literals shared by both engines (same Python repr).
+_BENFORD = {d: repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+
+def _benford_case_sql() -> str:
+    # Literals go through a string -> DOUBLE cast: DuckDB parses bare
+    # decimal-point literals as DECIMAL (whose re-cast to double is not
+    # guaranteed correctly rounded), while string->double is — and
+    # matches Spark's parse of the same repr() text exactly.
+    whens = " ".join(
+        f"WHEN digit = {d} THEN CAST('{lit}' AS DOUBLE)"
+        for d, lit in _BENFORD.items()
+    )
+    return f"CASE {whens} END"
+
+
+@query(
+    "q229_benford_first_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+      SELECT digit, COUNT(*) AS n,
+             SUM(COUNT(*)) OVER () AS tot
+      FROM d GROUP BY digit
+    )
+    SELECT digit,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(CAST(n AS DOUBLE) / tot, 6) AS share,
+           ROUND(CAST(({_benford_case_sql()}) AS DOUBLE), 6) AS benford_share,
+           ROUND(CAST(n AS DOUBLE) / tot
+                 - CAST(({_benford_case_sql()}) AS DOUBLE), 6) AS deviation
+    FROM c ORDER BY digit
+    """,
+    tags=("relational", "quality", "benford", "forensics"),
+)
+def q229_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    first-significant-digit shares vs log10(1 + 1/d), the forensic
+    data-quality check for fabricated or truncated numeric columns
+    (organic multi-scale amounts follow Benford; synthetic uniform
+    generators — like this fixture's — deviate, WHICH IS THE POINT of
+    reporting the deviation column). First digit is extracted through
+    integer string form after an explicit FLOOR — never a double cast
+    (DuckDB rounds, Spark truncates: the q110 trap) and never log10
+    on data (the expectation literals are Python-computed and shared
+    textually by both engines).
+
+    One map-side aggregate over 9 digit groups."""
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = F.lit(None).cast("double")
+    for d, lit in sorted(_BENFORD.items()):
+        expected = F.when(F.col("digit") == d, F.lit(float(lit))).otherwise(
+            expected
+        )
+    wt = W.partitionBy()
+    return c.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt) - expected, 6
+        ).alias("deviation"),
+    ).orderBy("digit")

@@ -1,0 +1,164 @@
+"""Staged wave-9 catalog entries (plans/llm_ops8.py): value-level
+oracle comparison at sf0.001 plus the algorithmic guarantees the wave
+claims — prefix filtering's EXACT recall vs a brute-force ground
+truth, the cardinality audit's actual-rows identity vs a real join,
+and PageRank/layout/Benford structural invariants."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_scraping_etl_tutorial_spark.plans import llm_ops8  # noqa: F401  (registers)
+from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+STAGED = [
+    "q225_prefix_filter_setjoin",
+    "q226_dup_graph_pagerank",
+    "q227_join_cardinality_audit",
+    "q228_partition_layout_plan",
+    "q229_benford_first_digit",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def nv(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else v
+        return str(v)
+
+    out = [tuple(nv(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_query_matches_oracle(spark, duck, name):
+    spec = _REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    srows = sdf.collect()
+    rel = duck.sql(spec.oracle)
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    orows = rel.fetchall()
+    assert len(srows) > 0, "staged queries must be non-empty at sf0.001"
+    assert not any("HUGEINT" in t for t in otypes), (
+        "oracle output contains HUGEINT — the round-6 lesson: "
+        f"cast to BIGINT ({dict(zip(ocols, otypes))})"
+    )
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert _norm(srows, sdf.columns) == _norm(orows, ocols)
+
+
+def test_staged_wave9_not_registered_in_driver_contract(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
+    from airflow_scraping_etl_tutorial_spark.plans.registry import (
+        _QUERY_MODULES,
+        all_queries,
+    )
+
+    assert "llm_ops8" not in ",".join(_QUERY_MODULES)
+    names = set(all_queries())
+    assert not names & set(STAGED)
+
+
+# ---------------------------------------------------------------------------
+# Algorithmic guarantees
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_has_exact_recall(spark, duck):
+    """The PPJoin pigeonhole guarantee: q225 finds EVERY pair with
+    distinct-token Jaccard >= 0.5, verified against an all-pairs
+    brute force over the fixture."""
+    truth = set(
+        duck.execute(
+            """
+        WITH tp AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents) t
+        ),
+        sets AS (SELECT doc_id, LIST(tok) lst, COUNT(*) n FROM tp GROUP BY doc_id)
+        SELECT a.doc_id, b.doc_id
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.lst, b.lst)) AS DOUBLE)
+                    / (a.n + b.n - LEN(LIST_INTERSECT(a.lst, b.lst))), 6)
+                >= 0.5
+        """
+        ).fetchall()
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in _REGISTRY["q225_prefix_filter_setjoin"].fn(spark, SF_DIR).collect()
+    }
+    assert got == truth
+    assert len(truth) > 0, "fixture must contain at least one near-dup pair"
+
+
+def test_cardinality_audit_actual_matches_real_join(spark, duck):
+    """actual_rows (computed join-free via count products) equals the
+    materialized join's row count."""
+    rows = {
+        r.edge: r
+        for r in _REGISTRY["q227_join_cardinality_audit"].fn(spark, SF_DIR).collect()
+    }
+    real = {
+        "orders*lineitem@orderkey": "SELECT COUNT(*) FROM orders o JOIN lineitem l"
+        " ON l.l_orderkey = o.o_orderkey",
+        "part*lineitem@partkey": "SELECT COUNT(*) FROM part p JOIN lineitem l"
+        " ON l.l_partkey = p.p_partkey",
+        "customer*orders@custkey": "SELECT COUNT(*) FROM customer c JOIN orders o"
+        " ON o.o_custkey = c.c_custkey",
+    }
+    for edge, sql in real.items():
+        (n,) = duck.execute(sql).fetchone()
+        assert rows[edge].actual_rows == n
+        assert rows[edge].est_rows > 0
+
+
+def test_pagerank_scores_bounded(spark):
+    """Damped PageRank floor: every score >= 0.15 in fixed point; the
+    top-20 ordering ties break on doc_id."""
+    rows = _REGISTRY["q226_dup_graph_pagerank"].fn(spark, SF_DIR).collect()
+    assert all(r.rank_score >= 150_000_000 for r in rows)
+    scores = [(-r.rank_score, r.doc_id) for r in rows]
+    assert scores == sorted(scores)
+
+
+def test_partition_plan_invariants(spark):
+    rows = _REGISTRY["q228_partition_layout_plan"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n_files >= 1
+        assert r.mean_file_bytes <= 65536
+        assert 0.0 < r.fill_ratio <= 1.0
+        assert r.n_files == -(-r.total_bytes // 65536)  # exact ceil
+
+
+def test_benford_shares(spark):
+    rows = _REGISTRY["q229_benford_first_digit"].fn(spark, SF_DIR).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.benford_share - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
