@@ -38,15 +38,29 @@ SPARK_SUBMIT = (
     f"--sink {SINK}"
 )
 
+# Schedule/retry contract (reference: dags/Final_app.py:14-20), shared
+# by the Airflow DAG below AND orchestration/minirunner.py — the
+# sandbox executor that actually EXERCISES these semantics in tests
+# (Airflow itself cannot be installed here). One source of truth so the
+# deployable DAG and the tested policy cannot drift.
+SCHEDULE = "@daily"
+RETRIES = 2
+RETRY_DELAY_SECONDS = 300
+SKIP_ON_EXIT_CODE = 3  # validation alert: route to SKIPPED, never retry
+START = ("2022-08-01T18:00:00", "Asia/Taipei")
+
 if HAVE_AIRFLOW:
     from datetime import timedelta
 
     with DAG(
         dag_id="twse_daily_spark",
-        schedule="@daily",
-        start_date=pendulum.datetime(2022, 8, 1, 18, 0, tz="Asia/Taipei"),
+        schedule=SCHEDULE,
+        start_date=pendulum.parse(START[0], tz=START[1]),
         catchup=False,
-        default_args={"retries": 2, "retry_delay": timedelta(minutes=5)},
+        default_args={
+            "retries": RETRIES,
+            "retry_delay": timedelta(seconds=RETRY_DELAY_SECONDS),
+        },
         tags=["twse", "spark"],
     ) as dag:
         # One job = the whole dataflow. Exit code 3 = validation alert:
@@ -59,7 +73,7 @@ if HAVE_AIRFLOW:
         daily_load = BashOperator(
             task_id="spark_daily_load",
             bash_command=SPARK_SUBMIT,
-            skip_on_exit_code=3,
+            skip_on_exit_code=SKIP_ON_EXIT_CODE,
         )
 else:
     dag = None

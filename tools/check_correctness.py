@@ -48,6 +48,46 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return out
 
 
+def _type_kind_spark(dt: str) -> str:
+    dt = dt.lower()
+    if dt.startswith(("bigint", "int", "smallint", "tinyint", "long")):
+        return "int"
+    if dt.startswith(("double", "float")):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt in ("string", "varchar"):
+        return "str"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt == "boolean":
+        return "bool"
+    return dt
+
+
+def _type_kind_duck(dt: str) -> str:
+    dt = dt.upper()
+    if dt in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER"):
+        return "int"
+    if dt in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"  # never portable; also caught by _NON_PORTABLE
+    if dt in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if dt.startswith("DECIMAL"):
+        return "decimal"
+    if dt == "VARCHAR":
+        return "str"
+    if dt == "DATE":
+        return "date"
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    if dt == "BOOLEAN":
+        return "bool"
+    return dt
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -147,6 +187,22 @@ def main() -> int:
             problems.append(
                 f"non-portable oracle output type (cast to BIGINT): {risky}"
             )
+        # Generalized guard for the same class: the per-column TYPE KIND
+        # must match between engines, or the driver's canonicalizer can
+        # diverge even when local values compare equal (second instance
+        # caught pre-ship: a DuckDB bare decimal literal made q229's
+        # share column DECIMAL vs Spark's DOUBLE — "0.045757" vs
+        # 0.045757). Kinds: int / float / decimal / str / date / ts /
+        # bool; DECIMAL-vs-DOUBLE and INT-vs-DOUBLE both fail here.
+        sd = dict(zip(scols, (t for _, t in sdf.dtypes)))
+        od = dict(zip(ocols, otypes))
+        kind_mism = [
+            f"{c}: spark={sd[c]} duck={od[c]}"
+            for c in sd
+            if c in od and _type_kind_spark(sd[c]) != _type_kind_duck(od[c])
+        ]
+        if kind_mism:
+            problems.append(f"output type-kind mismatch: {kind_mism}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if sorted(scols) != sorted(ocols):
