@@ -484,3 +484,103 @@ def q229_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wt) - expected, 6
         ).alias("deviation"),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# q230 — frame-hash video near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q230_frame_hash_neardup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             HEX(ENCODE(text)) AS hx,
+             OCTET_LENGTH(ENCODE(text)) AS nb
+      FROM documents
+    ),
+    e AS (
+      SELECT media_id, hx,
+             UNNEST(RANGE(0, GREATEST(nb // 160, 1))) AS f
+      FROM m
+    ),
+    fr AS (
+      SELECT DISTINCT media_id,
+             SUBSTR(MD5(SUBSTR(hx, CAST(f * 320 + 1 AS BIGINT), 320)), 1, 12)
+               AS fh
+      FROM e
+    ),
+    nf AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY media_id),
+    pr AS (
+      SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+             COUNT(*) AS shared
+      FROM fr a JOIN fr b ON a.fh = b.fh AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    )
+    SELECT p.media_id_a, p.media_id_b,
+           CAST(p.shared AS BIGINT) AS n_shared_frames,
+           ROUND(CAST(p.shared AS DOUBLE) / (na.n + nb2.n - p.shared), 6)
+             AS frame_jaccard
+    FROM pr p
+    JOIN nf na ON na.media_id = p.media_id_a
+    JOIN nf nb2 ON nb2.media_id = p.media_id_b
+    ORDER BY media_id_a, media_id_b
+    """,
+    tags=("multimodal", "dedup", "video", "fingerprint"),
+)
+def q230_frame_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-duplicate detection over sampled frame hashes:
+    each media object (documents re-typed as binary media, the q93/q94
+    convention) is fingerprinted as its SET of frame digests from the
+    Arrow-batched frame-sampling operator, and pairs are scored by
+    frame-set Jaccard — the standard shot-level video dedup scheme
+    (re-encoded/re-containered copies keep identical frame content).
+    Candidate pairs come from an inverted index on the frame digest
+    (docs sharing at least one frame), NEVER an all-pairs join — the
+    q70 economics applied to the multimodal plane; the heavy binary
+    frame column is reduced to a 12-hex-char digest BEFORE the
+    shuffle, so bytes never move.
+
+    The oracle replays the byte-slice frames on hex strings and the
+    digest Jaccard exactly (q94 proved the frame-slice parity)."""
+    from ..functions.caching import tag_intermediates
+    from ..operators.multimodal import documents_as_media, frame_sample_stub
+
+    docs = load(spark, sf_dir, "documents")
+    frames = frame_sample_stub(documents_as_media(docs), every_n=10)
+    fr = (
+        frames.select(
+            "media_id",
+            F.substring(F.md5(F.hex("frame")), 1, 12).alias("fh"),
+        )
+        .distinct()
+        .persist()
+    )
+    nf = fr.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
+    a = fr.select(F.col("media_id").alias("media_id_a"), "fh")
+    b = fr.select(F.col("media_id").alias("media_id_b"), "fh")
+    pr = (
+        a.join(b, "fh")
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .groupBy("media_id_a", "media_id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = nf.select(F.col("media_id").alias("media_id_a"), F.col("n").alias("na"))
+    nb = nf.select(F.col("media_id").alias("media_id_b"), F.col("n").alias("nb"))
+    out = (
+        pr.join(F.broadcast(na), "media_id_a")
+        .join(F.broadcast(nb), "media_id_b")
+        .select(
+            "media_id_a",
+            "media_id_b",
+            F.col("shared").cast("bigint").alias("n_shared_frames"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("frame_jaccard"),
+        )
+        .orderBy("media_id_a", "media_id_b")
+    )
+    return tag_intermediates(out, fr)

@@ -24,6 +24,7 @@ STAGED = [
     "q227_join_cardinality_audit",
     "q228_partition_layout_plan",
     "q229_benford_first_digit",
+    "q230_frame_hash_neardup",
 ]
 
 
@@ -162,3 +163,14 @@ def test_benford_shares(spark):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert abs(r.benford_share - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
+
+
+def test_frame_hash_neardup_symmetry_and_bounds(spark):
+    """Frame-set Jaccard is bounded and pairs carry at least one
+    shared frame by construction of the inverted-index candidates."""
+    rows = _REGISTRY["q230_frame_hash_neardup"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.media_id_a < r.media_id_b
+        assert r.n_shared_frames >= 1
+        assert 0.0 < r.frame_jaccard <= 1.0
