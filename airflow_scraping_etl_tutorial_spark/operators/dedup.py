@@ -146,6 +146,25 @@ def minhash_signatures(
     )
 
 
+def minhash_signature_table(
+    df: DataFrame, n_hashes: int = 8, shingle_size: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles, mh_0..mh_{n-1}): the shareable signature table.
+
+    Build once, persist, and pass to several `minhash_near_duplicates`
+    calls via ``signatures=`` to band the SAME signatures differently
+    (parameter sweeps, tiered thresholds) without re-running the
+    shingle+hash pass — at 100 TB the signature pass dominates, so a
+    b x r sweep must not pay it per setting. The caller owns the
+    persist/release lifecycle."""
+    pre = shingle_words(df, shingle_size, id_col)
+    return pre.select(
+        F.col(id_col),
+        F.col("xs").alias("shingles"),
+        *_minhash_cols(F.col("xs"), F.col("vs"), n_hashes),
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     n_hashes: int = 8,
@@ -154,6 +173,7 @@ def minhash_near_duplicates(
     jaccard_threshold: float = 0.5,
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -187,12 +207,14 @@ def minhash_near_duplicates(
     # hashed shingle sets, so raw text never shuffles. The persisted
     # handle is tagged on the result — callers release it with
     # functions.caching.release_intermediates once materialized.
-    pre = shingle_words(df, shingle_size, id_col)
-    sig = pre.select(
-        F.col(id_col),
-        F.col("xs").alias("shingles"),
-        *_minhash_cols(F.col("xs"), F.col("vs"), n_hashes),
-    ).persist()
+    # With ``signatures=`` (a minhash_signature_table result) the
+    # build is skipped entirely and the CALLER owns persist/release.
+    owns_sig = signatures is None
+    sig = (
+        minhash_signature_table(df, n_hashes, shingle_size, id_col).persist()
+        if owns_sig
+        else signatures
+    )
 
     band_keys = F.array(
         *[
@@ -242,7 +264,7 @@ def minhash_near_duplicates(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    return tag_intermediates(out, sig)
+    return tag_intermediates(out, sig) if owns_sig else out
 
 
 def simhash(df: DataFrame, n_bits: int = 60, id_col: str = "doc_id") -> DataFrame:

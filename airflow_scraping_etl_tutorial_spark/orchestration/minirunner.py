@@ -37,12 +37,28 @@ from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 from zoneinfo import ZoneInfo
 
-from .daily_dag import RETRIES, RETRY_DELAY_SECONDS, SKIP_ON_EXIT_CODE, START
+from .daily_dag import (
+    RETRIES,
+    RETRY_DELAY_SECONDS,
+    SCHEDULE,
+    SKIP_ON_EXIT_CODE,
+    START,
+)
 
 #: terminal run states (Airflow TaskInstance state names)
 SUCCESS = "success"
 SKIPPED = "skipped"
 FAILED = "failed"
+
+# The interval step is DERIVED from the DAG's declared schedule so the
+# deployed DAG and the tested policy cannot drift (a cron schedule this
+# table doesn't know is a loud failure, not a silently-wrong daily step).
+_SCHEDULE_STEP = {
+    "@daily": timedelta(days=1),
+    "@weekly": timedelta(weeks=1),
+    "@hourly": timedelta(hours=1),
+}
+STEP = _SCHEDULE_STEP[SCHEDULE]
 
 
 def start_datetime() -> datetime:
@@ -52,14 +68,16 @@ def start_datetime() -> datetime:
 
 
 def due_intervals(now: datetime, start: datetime | None = None) -> Iterator[datetime]:
-    """All @daily ``data_interval_end``s due strictly before ``now``.
+    """All ``data_interval_end``s due at or before ``now`` under the
+    DAG's declared schedule (STEP).
 
     Airflow fires a run once its data interval has COMPLETED: the run
-    for [e - 1d, e) fires at e, so e must be <= now to be due."""
-    e = (start or start_datetime()) + timedelta(days=1)
+    for [e - STEP, e) fires at e, so e <= now means due (an interval
+    ending exactly now IS due)."""
+    e = (start or start_datetime()) + STEP
     while e <= now:
         yield e
-        e += timedelta(days=1)
+        e += STEP
 
 
 def render_date(data_interval_end: datetime) -> str:

@@ -417,9 +417,17 @@ def q209_minhash_param_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
     bucket joins, not two signature builds (at 100 TB the signature
     pass dominates). Null signatures (zero-shingle docs) drop on both
     sides as in q68."""
+    from ..functions.caching import tag_intermediates
+    from ..operators.dedup import minhash_signature_table
+
     docs = load(spark, sf_dir, "documents")
-    c4 = minhash_near_duplicates(docs, n_hashes=8, bands=4, jaccard_threshold=0.0)
-    c2 = minhash_near_duplicates(docs, n_hashes=8, bands=2, jaccard_threshold=0.0)
+    sig = minhash_signature_table(docs, n_hashes=8).persist()
+    c4 = minhash_near_duplicates(
+        docs, n_hashes=8, bands=4, jaccard_threshold=0.0, signatures=sig
+    )
+    c2 = minhash_near_duplicates(
+        docs, n_hashes=8, bands=2, jaccard_threshold=0.0, signatures=sig
+    )
     a4 = c4.agg(
         F.count(F.lit(1)).alias("n_cand_4band"),
         F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias(
@@ -432,7 +440,7 @@ def q209_minhash_param_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
             "n_verified_2band"
         ),
     )
-    return a4.crossJoin(a2)
+    return tag_intermediates(a4.crossJoin(a2), sig)
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,10 @@ from .registry import query
 _HLL_M = 256
 _HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
 _HLL_NUM = repr(_HLL_ALPHA_M2 * float(1 << 30))
+# In the oracle SQL this literal MUST go through CAST('...' AS DOUBLE):
+# DuckDB parses a bare decimal-point literal as DECIMAL, whose re-cast
+# to double is not guaranteed correctly rounded (the q229 lesson);
+# string->double parsing is, and matches Spark's parse of repr() text.
 
 
 def hll_registers(tok_df: DataFrame) -> DataFrame:
@@ -108,7 +112,7 @@ def hll_registers(tok_df: DataFrame) -> DataFrame:
       SELECT CAST(SUM(n) AS BIGINT) AS exact_n,
              CAST(COUNT(*) AS BIGINT) AS used,
              CAST(MAX(reg) AS BIGINT) AS max_reg,
-             {_HLL_NUM}
+             CAST('{_HLL_NUM}' AS DOUBLE)
                / (SUM(CAST(1 AS BIGINT) << (30 - LEAST(reg, 30)))
                   + (({_HLL_M} - COUNT(*)) << 30)) AS raw
       FROM regs

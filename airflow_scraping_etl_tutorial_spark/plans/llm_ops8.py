@@ -106,10 +106,15 @@ def q225_prefix_filter_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, hot tokens (stopwords) never enter the index, the same
     economics `max_shingle_df` buys q70 but guarantee-preserving.
     Verification touches candidates only."""
+    from ..functions.caching import tag_intermediates
+
     docs = load(spark, sf_dir, "documents")
+    # tp feeds the df table, the rank join, and the verify sets; pref
+    # self-joins — persist both (persist-and-tag doctrine, cf. q216).
     tp = (
         docs.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
+        .persist()
     )
     dfx = tp.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
     wr = W.partitionBy("doc_id").orderBy("dfc", "tok")
@@ -120,9 +125,11 @@ def q225_prefix_filter_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).alias("rk"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    pref = rk.filter(
-        F.col("rk") <= F.col("n") - F.expr("(n + 1) div 2") + 1
-    ).select("doc_id", "tok")
+    pref = (
+        rk.filter(F.col("rk") <= F.col("n") - F.expr("(n + 1) div 2") + 1)
+        .select("doc_id", "tok")
+        .persist()
+    )
     a = pref.select(F.col("doc_id").alias("doc_id_a"), "tok")
     b = pref.select(F.col("doc_id").alias("doc_id_b"), "tok")
     cand = (
@@ -148,13 +155,14 @@ def q225_prefix_filter_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     jacc = F.round(
         inter.cast("double") / (F.col("na") + F.col("nb") - inter), 6
     )
-    return (
+    out = (
         cand.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
         .select("doc_id_a", "doc_id_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= _PF_T)
         .orderBy("doc_id_a", "doc_id_b")
     )
+    return tag_intermediates(out, tp, pref)
 
 
 # ---------------------------------------------------------------------------
