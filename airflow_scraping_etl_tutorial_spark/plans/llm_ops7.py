@@ -59,6 +59,21 @@ _HLL_NUM = repr(_HLL_ALPHA_M2 * float(1 << 30))
 # string->double parsing is, and matches Spark's parse of repr() text.
 
 
+def _hll_hv() -> "F.Column":
+    return F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("hv")
+
+
+def _hll_rho() -> "F.Column":
+    """Leading-zero rank of the 52 bits above the bucket byte."""
+    return (
+        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(53))
+        .otherwise(
+            F.lit(52) - F.length(F.conv(F.expr(f"hv div {_HLL_M}"), 10, 2)) + 1
+        )
+        .alias("rho")
+    )
+
+
 def hll_registers(tok_df: DataFrame) -> DataFrame:
     """(tok) -> (bucket, reg, n): the HLL register vector plus the
     exact per-bucket distinct count the audit compares against.
@@ -67,25 +82,56 @@ def hll_registers(tok_df: DataFrame) -> DataFrame:
     partition of the data merge to the whole-data vector by
     elementwise MAX (tested in tests/test_staged_wave8.py) — `n` is
     audit bookkeeping and merges only for disjoint token sets."""
-    hv = (
-        tok_df.distinct()
-        .select(
-            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("hv")
-        )
-    )
-    r = hv.select(
-        (F.col("hv") % _HLL_M).alias("bucket"),
-        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(53))
-        .otherwise(
-            F.lit(52) - F.length(F.conv(F.expr(f"hv div {_HLL_M}"), 10, 2)) + 1
-        )
-        .alias("rho"),
-    )
+    hv = tok_df.distinct().select(_hll_hv())
+    r = hv.select((F.col("hv") % _HLL_M).alias("bucket"), _hll_rho())
     return r.groupBy("bucket").agg(
         F.max("rho").alias("reg"), F.count(F.lit(1)).alias("n")
     )
+
+
+def hll_registers_by(tok_df: DataFrame, key: str) -> DataFrame:
+    """(key, tok) -> (key, bucket, reg): one register vector per key
+    group — the per-source/per-language sketch table whose vectors
+    combine by elementwise MAX across any group subset (set-union
+    algebra; q231 uses it for vocabulary overlap)."""
+    hv = tok_df.distinct().select(key, _hll_hv())
+    r = hv.select(key, (F.col("hv") % _HLL_M).alias("bucket"), _hll_rho())
+    return r.groupBy(key, "bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_estimate_agg() -> "F.Column":
+    """Aggregate Column: the HLL cardinality estimate over grouped
+    (reg) rows — exact-integer harmonic denominator, shared double
+    literal numerator, quantized-LN linear-counting correction below
+    2.5m. Use inside groupBy(...).agg(...). Bit-identical to the SQL
+    twin _SQL_HLL_EST."""
+    denom = F.sum(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - LEAST(reg, 30) AS INT))")
+    ) + F.expr(f"shiftleft(CAST({_HLL_M} AS BIGINT) - COUNT(1), 30)")
+    raw = F.lit(float(_HLL_NUM)) / denom
+    used = F.count(F.lit(1))
+    lc = F.lit(float(_HLL_M)) * (
+        F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - used))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    return F.when((raw < 2.5 * _HLL_M) & (used < _HLL_M), lc).otherwise(raw)
+
+
+# DuckDB twin of hll_estimate_agg(): paste into a grouped SELECT over
+# (reg) rows. Same formula text both places; the numerator literal goes
+# through CAST('...' AS DOUBLE) (see the _HLL_NUM note above).
+_SQL_HLL_RAW = (
+    f"CAST('{_HLL_NUM}' AS DOUBLE)"
+    f" / (SUM(CAST(1 AS BIGINT) << (30 - LEAST(reg, 30)))"
+    f" + (({_HLL_M} - COUNT(*)) << 30))"
+)
+_SQL_HLL_EST = (
+    f"CASE WHEN {_SQL_HLL_RAW} < 2.5 * {_HLL_M} AND COUNT(*) < {_HLL_M}"
+    f" THEN {_HLL_M} * CAST(CAST(LN(CAST({_HLL_M} AS DOUBLE)"
+    f" / ({_HLL_M} - COUNT(*))) AS DECIMAL(18,6)) AS DOUBLE)"
+    f" ELSE {_SQL_HLL_RAW} END"
+)
 
 
 @query(
@@ -107,31 +153,13 @@ def hll_registers(tok_df: DataFrame) -> DataFrame:
     ),
     regs AS (
       SELECT bucket, MAX(rho) AS reg, COUNT(*) AS n FROM r GROUP BY bucket
-    ),
-    state AS (
-      SELECT CAST(SUM(n) AS BIGINT) AS exact_n,
-             CAST(COUNT(*) AS BIGINT) AS used,
-             CAST(MAX(reg) AS BIGINT) AS max_reg,
-             CAST('{_HLL_NUM}' AS DOUBLE)
-               / (SUM(CAST(1 AS BIGINT) << (30 - LEAST(reg, 30)))
-                  + (({_HLL_M} - COUNT(*)) << 30)) AS raw
-      FROM regs
-    ),
-    est AS (
-      SELECT exact_n, used, max_reg,
-             CASE WHEN raw < 2.5 * {_HLL_M} AND used < {_HLL_M}
-                  THEN {_HLL_M} * CAST(CAST(
-                         LN(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - used))
-                       AS DECIMAL(18,6)) AS DOUBLE)
-                  ELSE raw END AS e
-      FROM state
     )
-    SELECT exact_n AS n_distinct_tokens,
-           used AS n_buckets_used,
-           max_reg AS max_register,
-           ROUND(e, 4) AS hll_estimate,
-           ROUND((e - exact_n) / exact_n, 6) AS rel_error
-    FROM est
+    SELECT CAST(SUM(n) AS BIGINT) AS n_distinct_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(MAX(reg) AS BIGINT) AS max_register,
+           ROUND({_SQL_HLL_EST}, 4) AS hll_estimate,
+           ROUND(({_SQL_HLL_EST} - SUM(n)) / SUM(n), 6) AS rel_error
+    FROM regs
     """,
     tags=("llm", "sketch", "cardinality", "audit"),
 )
@@ -163,31 +191,13 @@ def q215_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈ 6.5% by theory."""
     docs = load(spark, sf_dir, "documents")
     regs = hll_registers(docs.select(F.explode(F.split("text", " ")).alias("tok")))
-    denom = F.sum(
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - LEAST(reg, 30) AS INT))")
-    ) + F.expr(
-        f"shiftleft(CAST({_HLL_M} AS BIGINT) - COUNT(1), 30)"
-    )
-    state = regs.agg(
-        F.sum("n").cast("bigint").alias("exact_n"),
-        F.count(F.lit(1)).cast("bigint").alias("used"),
-        F.max("reg").cast("bigint").alias("max_reg"),
-        (F.lit(float(_HLL_NUM)) / denom).alias("raw"),
-    )
-    lc = F.lit(float(_HLL_M)) * (
-        F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("used")))
-        .cast("decimal(18,6)")
-        .cast("double")
-    )
-    e = F.when(
-        (F.col("raw") < 2.5 * _HLL_M) & (F.col("used") < _HLL_M), lc
-    ).otherwise(F.col("raw"))
-    return state.select(
-        F.col("exact_n").alias("n_distinct_tokens"),
-        F.col("used").alias("n_buckets_used"),
-        F.col("max_reg").alias("max_register"),
+    e = hll_estimate_agg()
+    return regs.agg(
+        F.sum("n").cast("bigint").alias("n_distinct_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.max("reg").cast("bigint").alias("max_register"),
         F.round(e, 4).alias("hll_estimate"),
-        F.round((e - F.col("exact_n")) / F.col("exact_n"), 6).alias("rel_error"),
+        F.round((e - F.sum("n")) / F.sum("n"), 6).alias("rel_error"),
     )
 
 

@@ -592,3 +592,162 @@ def q230_frame_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id_a", "media_id_b")
     )
     return tag_intermediates(out, fr)
+
+
+# ---------------------------------------------------------------------------
+# q231 — vocabulary overlap via HLL set algebra
+# ---------------------------------------------------------------------------
+
+
+def _sql_hll_lang_cte() -> str:
+    from .llm_ops7 import _HLL_M
+
+    return f"""
+    tl AS (
+      SELECT DISTINCT lang, tok FROM (
+        SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+      ) t
+    ),
+    h AS (
+      SELECT lang, CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT) AS hv
+      FROM tl
+    ),
+    r AS (
+      SELECT lang, hv % {_HLL_M} AS bucket,
+             CASE WHEN hv // {_HLL_M} = 0 THEN 53
+                  ELSE 52 - LENGTH(BIN(hv // {_HLL_M})) + 1 END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT lang, bucket, MAX(rho) AS reg FROM r GROUP BY lang, bucket
+    ),
+    pl AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM (SELECT DISTINCT lang FROM tl) a
+      JOIN (SELECT DISTINCT lang FROM tl) b ON a.lang < b.lang
+    )"""
+
+
+def _q231_oracle() -> str:
+    from .llm_ops7 import _SQL_HLL_EST
+
+    return f"""
+    WITH {_sql_hll_lang_cte()},
+    el AS (SELECT lang, {_SQL_HLL_EST} AS est FROM regs GROUP BY lang),
+    u AS (
+      SELECT p.lang_a, p.lang_b, g.bucket, MAX(g.reg) AS reg
+      FROM pl p JOIN regs g ON g.lang = p.lang_a OR g.lang = p.lang_b
+      GROUP BY p.lang_a, p.lang_b, g.bucket
+    ),
+    eu AS (
+      SELECT lang_a, lang_b, {_SQL_HLL_EST} AS est_u
+      FROM u GROUP BY lang_a, lang_b
+    ),
+    nl AS (SELECT lang, COUNT(*) AS n FROM tl GROUP BY lang),
+    ex AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS inter
+      FROM tl a JOIN tl b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT e.lang_a, e.lang_b,
+           ROUND(ea.est, 4) AS hll_est_a,
+           ROUND(eb.est, 4) AS hll_est_b,
+           ROUND(e.est_u, 4) AS hll_est_union,
+           ROUND((ea.est + eb.est - e.est_u) / e.est_u, 6) AS hll_jaccard,
+           ROUND(CAST(x.inter AS DOUBLE) / (na.n + nb.n - x.inter), 6)
+             AS exact_jaccard
+    FROM eu e
+    JOIN el ea ON ea.lang = e.lang_a
+    JOIN el eb ON eb.lang = e.lang_b
+    JOIN nl na ON na.lang = e.lang_a
+    JOIN nl nb ON nb.lang = e.lang_b
+    JOIN ex x ON x.lang_a = e.lang_a AND x.lang_b = e.lang_b
+    ORDER BY e.lang_a, e.lang_b
+    """
+
+
+@query(
+    "q231_vocab_overlap_hll",
+    oracle=_q231_oracle(),
+    tags=("llm", "sketch", "setalgebra", "vocabulary"),
+)
+def q231_vocab_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary overlap estimated ENTIRELY from HLL
+    register vectors — the set-algebra payoff of a mergeable sketch:
+    |A ∪ B| comes from the elementwise-MAX union of two 256-byte
+    register vectors (no token data touched), |A ∩ B| by inclusion-
+    exclusion, and the sketch Jaccard is compared against the exact
+    token-join Jaccard per language pair. At 100 TB this is THE way
+    to answer "how much vocabulary do two corpora share?" — the exact
+    form requires a token-level join across both corpora; the sketch
+    form ships 256 bytes per corpus to the driver. The inclusion-
+    exclusion error (visible next to exact_jaccard) is the documented
+    weakness of HLL intersections at small overlaps — which is the
+    point of auditing it.
+
+    Same deterministic machinery as q215 (shared helpers: exact-
+    integer harmonic denominator, quantized-LN small-range
+    correction); the register table is built ONCE per language and
+    persisted for the per-language and per-pair-union estimates."""
+    from ..functions.caching import tag_intermediates
+    from .llm_ops7 import hll_estimate_agg, hll_registers_by
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    tl = toks.distinct().persist()
+    regs = hll_registers_by(tl, "lang").persist()
+    langs = regs.select("lang").distinct()
+    pl = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .join(langs.select(F.col("lang").alias("lang_b")))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    el = regs.groupBy("lang").agg(hll_estimate_agg().alias("est"))
+    u = (
+        pl.join(
+            regs,
+            (regs["lang"] == pl["lang_a"]) | (regs["lang"] == pl["lang_b"]),
+        )
+        .groupBy("lang_a", "lang_b", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    eu = u.groupBy("lang_a", "lang_b").agg(hll_estimate_agg().alias("est_u"))
+    nl = tl.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a = tl.select(F.col("lang").alias("lang_a"), "tok")
+    b = tl.select(F.col("lang").alias("lang_b"), "tok")
+    ex = (
+        a.join(b, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ea = el.select(F.col("lang").alias("lang_a"), F.col("est").alias("est_a"))
+    eb = el.select(F.col("lang").alias("lang_b"), F.col("est").alias("est_b"))
+    na = nl.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))
+    nb = nl.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb"))
+    out = (
+        eu.join(F.broadcast(ea), "lang_a")
+        .join(F.broadcast(eb), "lang_b")
+        .join(F.broadcast(na), "lang_a")
+        .join(F.broadcast(nb), "lang_b")
+        .join(ex, ["lang_a", "lang_b"])
+        .select(
+            "lang_a",
+            "lang_b",
+            F.round("est_a", 4).alias("hll_est_a"),
+            F.round("est_b", 4).alias("hll_est_b"),
+            F.round("est_u", 4).alias("hll_est_union"),
+            F.round(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                / F.col("est_u"),
+                6,
+            ).alias("hll_jaccard"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+    return tag_intermediates(out, tl, regs)

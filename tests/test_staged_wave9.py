@@ -25,6 +25,7 @@ STAGED = [
     "q228_partition_layout_plan",
     "q229_benford_first_digit",
     "q230_frame_hash_neardup",
+    "q231_vocab_overlap_hll",
 ]
 
 
@@ -174,3 +175,19 @@ def test_frame_hash_neardup_symmetry_and_bounds(spark):
         assert r.media_id_a < r.media_id_b
         assert r.n_shared_frames >= 1
         assert 0.0 < r.frame_jaccard <= 1.0
+
+
+def test_hll_set_algebra_sane(spark, duck):
+    """Union-register estimates dominate the single-set estimates
+    (registers merge by MAX, monotone), one row per language pair,
+    and the sketch Jaccard tracks the exact one within raw-HLL error
+    bounds at this register count."""
+    rows = _REGISTRY["q231_vocab_overlap_hll"].fn(spark, SF_DIR).collect()
+    (n_langs,) = duck.execute(
+        "SELECT COUNT(DISTINCT lang) FROM documents"
+    ).fetchone()
+    assert len(rows) == n_langs * (n_langs - 1) // 2
+    for r in rows:
+        assert r.hll_est_union >= 0.95 * max(r.hll_est_a, r.hll_est_b)
+        # inclusion-exclusion amplifies HLL error; generous band
+        assert abs(r.hll_jaccard - r.exact_jaccard) < 0.5
