@@ -126,10 +126,14 @@ def q154_semdedup_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("_e"), F.col("c_emb")).alias("_cos"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("_cos"), F.asc("centroid_id"))
+    # cells feeds both sides of the within-cell self-join AND the final
+    # report join — persist (operator-tag protocol) or the k-means +
+    # assignment pipeline runs three times.
     cells = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("vec_id", "_e", F.col("centroid_id").alias("cid"))
+        .persist()
     )
     a = cells.select(
         F.col("cid"), F.col("vec_id").alias("id_a"), F.col("_e").alias("ea")
@@ -145,7 +149,9 @@ def q154_semdedup_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_dropped", F.lit(1))
     )
-    return (
+    from ..functions.caching import tag_intermediates
+
+    out = (
         cells.join(dropped, "vec_id", "left")
         .groupBy(F.col("cid").alias("centroid_id"))
         .agg(
@@ -157,6 +163,7 @@ def q154_semdedup_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+    return tag_intermediates(out, cells)
 
 
 # ---------------------------------------------------------------------------
