@@ -237,15 +237,19 @@ def q186_greedy_vs_transitive_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     is how a pipeline decides whether that price is acceptable. Both
     verdicts join the same digest-keyed pair evidence; Spark runs the
     real label propagation for the transitive side."""
+    from ..functions.caching import tag_intermediates
+
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    # pairs feeds the greedy verdict AND seeds the label propagation —
+    # persist so the candidate-join + verify pass runs once.
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5).persist()
     greedy = (
         pairs.select(F.col("doc_id_b").alias("doc_id"))
         .distinct()
         .withColumn("_g", F.lit(1))
     )
     marked = dedup_keep_canonical(docs, pairs)
-    return (
+    out = (
         marked.join(greedy, "doc_id", "left")
         .groupBy("lang")
         .agg(
@@ -263,6 +267,7 @@ def q186_greedy_vs_transitive_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+    return tag_intermediates(out, pairs)
 
 
 # ---------------------------------------------------------------------------
