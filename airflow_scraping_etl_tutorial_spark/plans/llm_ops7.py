@@ -50,87 +50,16 @@ from .registry import query
 # denominator stays in exact integer arithmetic (see below). A shared
 # Python-computed literal: both engines parse the same decimal literal
 # to the same IEEE double.
-_HLL_M = 256
-_HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
-_HLL_NUM = repr(_HLL_ALPHA_M2 * float(1 << 30))
-# In the oracle SQL this literal MUST go through CAST('...' AS DOUBLE):
-# DuckDB parses a bare decimal-point literal as DECIMAL, whose re-cast
-# to double is not guaranteed correctly rounded (the q229 lesson);
-# string->double parsing is, and matches Spark's parse of repr() text.
-
-
-def _hll_hv() -> "F.Column":
-    return F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("hv")
-
-
-def _hll_rho() -> "F.Column":
-    """Leading-zero rank of the 52 bits above the bucket byte."""
-    return (
-        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(53))
-        .otherwise(
-            F.lit(52) - F.length(F.conv(F.expr(f"hv div {_HLL_M}"), 10, 2)) + 1
-        )
-        .alias("rho")
-    )
-
-
-def hll_registers(tok_df: DataFrame) -> DataFrame:
-    """(tok) -> (bucket, reg, n): the HLL register vector plus the
-    exact per-bucket distinct count the audit compares against.
-
-    The sketch state is `reg` alone: register vectors built on any
-    partition of the data merge to the whole-data vector by
-    elementwise MAX (tested in tests/test_staged_wave8.py) — `n` is
-    audit bookkeeping and merges only for disjoint token sets."""
-    hv = tok_df.distinct().select(_hll_hv())
-    r = hv.select((F.col("hv") % _HLL_M).alias("bucket"), _hll_rho())
-    return r.groupBy("bucket").agg(
-        F.max("rho").alias("reg"), F.count(F.lit(1)).alias("n")
-    )
-
-
-def hll_registers_by(tok_df: DataFrame, key: str) -> DataFrame:
-    """(key, tok) -> (key, bucket, reg): one register vector per key
-    group — the per-source/per-language sketch table whose vectors
-    combine by elementwise MAX across any group subset (set-union
-    algebra; q231 uses it for vocabulary overlap)."""
-    hv = tok_df.distinct().select(key, _hll_hv())
-    r = hv.select(key, (F.col("hv") % _HLL_M).alias("bucket"), _hll_rho())
-    return r.groupBy(key, "bucket").agg(F.max("rho").alias("reg"))
-
-
-def hll_estimate_agg() -> "F.Column":
-    """Aggregate Column: the HLL cardinality estimate over grouped
-    (reg) rows — exact-integer harmonic denominator, shared double
-    literal numerator, quantized-LN linear-counting correction below
-    2.5m. Use inside groupBy(...).agg(...). Bit-identical to the SQL
-    twin _SQL_HLL_EST."""
-    denom = F.sum(
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - LEAST(reg, 30) AS INT))")
-    ) + F.expr(f"shiftleft(CAST({_HLL_M} AS BIGINT) - COUNT(1), 30)")
-    raw = F.lit(float(_HLL_NUM)) / denom
-    used = F.count(F.lit(1))
-    lc = F.lit(float(_HLL_M)) * (
-        F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - used))
-        .cast("decimal(18,6)")
-        .cast("double")
-    )
-    return F.when((raw < 2.5 * _HLL_M) & (used < _HLL_M), lc).otherwise(raw)
-
-
-# DuckDB twin of hll_estimate_agg(): paste into a grouped SELECT over
-# (reg) rows. Same formula text both places; the numerator literal goes
-# through CAST('...' AS DOUBLE) (see the _HLL_NUM note above).
-_SQL_HLL_RAW = (
-    f"CAST('{_HLL_NUM}' AS DOUBLE)"
-    f" / (SUM(CAST(1 AS BIGINT) << (30 - LEAST(reg, 30)))"
-    f" + (({_HLL_M} - COUNT(*)) << 30))"
-)
-_SQL_HLL_EST = (
-    f"CASE WHEN {_SQL_HLL_RAW} < 2.5 * {_HLL_M} AND COUNT(*) < {_HLL_M}"
-    f" THEN {_HLL_M} * CAST(CAST(LN(CAST({_HLL_M} AS DOUBLE)"
-    f" / ({_HLL_M} - COUNT(*))) AS DECIMAL(18,6)) AS DOUBLE)"
-    f" ELSE {_SQL_HLL_RAW} END"
+# The HLL machinery lives in operators/sketches.py (shared with the
+# streaming register maintainer); re-exported here under the names the
+# catalog entries and tests use.
+from ..operators.sketches import (  # noqa: E402
+    HLL_M as _HLL_M,
+    HLL_NUM as _HLL_NUM,
+    SQL_HLL_EST as _SQL_HLL_EST,
+    hll_estimate_agg,
+    hll_registers,
+    hll_registers_by,
 )
 
 

@@ -282,3 +282,45 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
     assert got_rows == batch_rows
     # every event found its dimension row (fixture keys are aligned)
     assert all(r[2] is not None for r in got_rows)
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The streaming register state equals the batch sketch: documents
+    replayed one file per micro-batch (4 incremental state updates)
+    end at exactly the register vector operators/sketches.hll_registers
+    computes in batch — the mergeable-sketch contract, live."""
+    from airflow_scraping_etl_tutorial_spark.operators.sketches import hll_registers
+    from airflow_scraping_etl_tutorial_spark.streaming.sketches import (
+        streaming_hll_registers,
+    )
+
+    docs_dir = str(tmp_path / "docs_stream")
+    batch_docs = load(spark, SF_DIR, "documents")
+    batch_docs.repartition(4).write.mode("overwrite").parquet(docs_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(docs_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        streaming_hll_registers(stream)
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    got = {
+        r.bucket: r.reg for r in spark.sql("SELECT * FROM hll_regs").collect()
+    }
+    want = {
+        r.bucket: r.reg
+        for r in hll_registers(
+            batch_docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        ).collect()
+    }
+    assert got == want
+    assert n_batches >= 4  # the state really was built incrementally
