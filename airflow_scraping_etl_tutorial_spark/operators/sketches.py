@@ -110,3 +110,42 @@ SQL_HLL_EST = (
     f" / ({HLL_M} - COUNT(*))) AS DECIMAL(18,6)) AS DOUBLE)"
     f" ELSE {SQL_HLL_RAW} END"
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch machinery (q216 + streaming/sketches.py)
+# ---------------------------------------------------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 64  # counters per row
+
+
+def cm_hash(d: int) -> Column:
+    """Counter column of `tok` for hash row d: md5-derived, mod CM_W —
+    identical in the DuckDB oracle's replay."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit(f":cm{d}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % CM_W
+    )
+
+
+def cm_cells(tok_df: DataFrame) -> DataFrame:
+    """(tok) -> (row, k) counter-cell coordinates, one per hash row —
+    the map-side form of the CM sketch; summing cell hits yields the
+    counter matrix on batch or streaming input alike."""
+    return tok_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"), cm_hash(d).alias("k")
+                    )
+                    for d in range(CM_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.k")

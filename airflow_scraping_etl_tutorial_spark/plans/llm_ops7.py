@@ -134,8 +134,9 @@ def q215_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q216 — count-min sketch heavy-hitter audit
 # ---------------------------------------------------------------------------
 
-_CM_D = 4  # hash rows
-_CM_W = 64  # counters per row
+from ..operators.sketches import CM_D as _CM_D  # noqa: E402
+from ..operators.sketches import CM_W as _CM_W  # noqa: E402
+from ..operators.sketches import cm_hash  # noqa: E402
 
 
 def _cm_hash_sql(d: int) -> str:
@@ -202,18 +203,10 @@ def q216_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
-    def h(d: int):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.col("tok"), F.lit(f":cm{d}"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
-            % _CM_W
-        )
-
     cm = cnts.select(
-        "tok", "c", h(0).alias("h0"), h(1).alias("h1"), h(2).alias("h2"), h(3).alias("h3")
+        "tok",
+        "c",
+        *[cm_hash(d).alias(f"h{d}") for d in range(_CM_D)],
     ).persist()
     counters = [
         cm.groupBy(F.col(f"h{d}").alias("k")).agg(

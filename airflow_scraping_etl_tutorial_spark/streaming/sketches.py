@@ -32,3 +32,15 @@ def streaming_hll_registers(df: DataFrame, text_col: str = "text") -> DataFrame:
     streams where COUNT(DISTINCT) cannot."""
     toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     return hll_bucket_rho(toks).groupBy("bucket").agg(F.max("rho").alias("reg"))
+
+
+def streaming_countmin_counters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Running count-min counter matrix over a streaming text column:
+    CM_D x CM_W cells, each a running COUNT — linear state that merges
+    by + (the batch/partition merge) and needs no watermark. Complete
+    output mode; the live matrix upper-bounds every token's frequency
+    at every point in the stream."""
+    from ..operators.sketches import cm_cells
+
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    return cm_cells(toks).groupBy("row", "k").agg(F.count(F.lit(1)).alias("v"))

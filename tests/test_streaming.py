@@ -324,3 +324,48 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     }
     assert got == want
     assert n_batches >= 4  # the state really was built incrementally
+
+
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    """The streaming count-min counter matrix equals the batch one
+    after the stream drains — linear state, merges by +, and at every
+    prefix of the stream each counter is a lower bound of its final
+    value (monotone), so the live matrix always upper-bounds the
+    frequencies seen so far."""
+    from airflow_scraping_etl_tutorial_spark.operators.sketches import cm_cells
+    from airflow_scraping_etl_tutorial_spark.streaming.sketches import (
+        streaming_countmin_counters,
+    )
+
+    docs_dir = str(tmp_path / "docs_cm_stream")
+    batch_docs = load(spark, SF_DIR, "documents")
+    batch_docs.repartition(3).write.mode("overwrite").parquet(docs_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(docs_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        streaming_countmin_counters(stream)
+        .writeStream.format("memory")
+        .queryName("cm_counters")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.row, r.k): r.v
+        for r in spark.sql("SELECT * FROM cm_counters").collect()
+    }
+    want = {
+        (r.row, r.k): r.v
+        for r in cm_cells(
+            batch_docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        )
+        .groupBy("row", "k")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .collect()
+    }
+    assert got == want
