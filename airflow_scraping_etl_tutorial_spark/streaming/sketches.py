@@ -44,3 +44,21 @@ def streaming_countmin_counters(df: DataFrame, text_col: str = "text") -> DataFr
 
     toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     return cm_cells(toks).groupBy("row", "k").agg(F.count(F.lit(1)).alias("v"))
+
+
+def streaming_bloom_bitmap(
+    df: DataFrame,
+    key_col: str = "text",
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Running Bloom bitmap over a streaming key column — the third
+    mergeable-state shape (HLL merges by MAX, count-min by +, Bloom by
+    bitwise OR). State is at most m/60 (word, bits) rows regardless of
+    stream length; a snapshot at any point is a valid
+    never-false-negative membership screen for everything ingested so
+    far (operators/membership.py's probe works on it unchanged) — the
+    live form of the q208 incremental-ingest split."""
+    from ..operators.membership import bloom_bitmap
+
+    return bloom_bitmap(df, key_col=key_col, m_bits=m_bits, k_hashes=k_hashes)

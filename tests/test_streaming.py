@@ -369,3 +369,43 @@ def test_streaming_countmin_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_bloom_bitmap_matches_batch_and_screens(spark, tmp_path):
+    """The drained streaming Bloom bitmap equals the batch one (OR is
+    the merge), and probing the corpus's own keys against the streamed
+    bitmap yields zero false negatives — a snapshot mid-ingest is a
+    valid membership screen."""
+    from airflow_scraping_etl_tutorial_spark.operators.membership import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+    from airflow_scraping_etl_tutorial_spark.streaming.sketches import (
+        streaming_bloom_bitmap,
+    )
+
+    docs_dir = str(tmp_path / "docs_bloom_stream")
+    batch_docs = load(spark, SF_DIR, "documents")
+    batch_docs.repartition(3).write.mode("overwrite").parquet(docs_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(docs_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        streaming_bloom_bitmap(stream)
+        .writeStream.format("memory")
+        .queryName("bloom_bits")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT * FROM bloom_bits")
+    got = {(r.word_idx, r.bits) for r in streamed.collect()}
+    want = {(r.word_idx, r.bits) for r in bloom_bitmap(batch_docs).collect()}
+    assert got == want
+
+    probed = bloom_probe(batch_docs, streamed)
+    assert all(r.bloom_hit == 1 for r in probed.collect())  # no false negatives
