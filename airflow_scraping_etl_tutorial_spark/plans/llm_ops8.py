@@ -751,3 +751,77 @@ def q231_vocab_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang_a", "lang_b")
     )
     return tag_intermediates(out, tl, regs)
+
+
+# ---------------------------------------------------------------------------
+# q232 — sessionization gap-parameter sweep
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q232_session_gap_sweep",
+    oracle="""
+    WITH d AS (
+      SELECT EPOCH_US(ts) - LAG(EPOCH_US(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    g AS (SELECT UNNEST([10, 30, 60]) AS gap_minutes)
+    SELECT g.gap_minutes,
+           CAST(SUM(CASE WHEN d.gap_us IS NULL
+                          OR d.gap_us >= CAST(g.gap_minutes AS BIGINT) * 60000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(CASE WHEN d.gap_us IS NULL
+                             OR d.gap_us >= CAST(g.gap_minutes AS BIGINT) * 60000000
+                       THEN 1 ELSE 0 END), 6) AS mean_events_per_session
+    FROM g CROSS JOIN d
+    GROUP BY g.gap_minutes ORDER BY g.gap_minutes
+    """,
+    tags=("llm", "events", "sessionization", "tuning"),
+)
+def q232_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization gap-parameter sweep: session counts and mean
+    session size at 10/30/60-minute inactivity gaps, all derived from
+    ONE user-keyed LAG pass — the q204/q209 tuning-sweep economics
+    applied to q82's session rule. A session starts where the gap to
+    the previous same-user event is null or >= the threshold, so
+    counting starts IS counting sessions; the sweep re-reads the tiny
+    (gap_us) column per threshold instead of re-shuffling events.
+    Gap arithmetic is exact integer microseconds on both engines
+    (EPOCH_US / unix_micros); the only double is the final
+    single-division mean.
+
+    The operational question it answers: how sensitive are session
+    metrics to the gap constant before you bake it into q82/q184/q200?"""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us")
+    )
+    g = spark.range(0).sparkSession.createDataFrame(
+        [(10,), (30,), (60,)], "gap_minutes int"
+    )
+    starts = F.sum(
+        F.when(
+            F.col("gap_us").isNull()
+            | (
+                F.col("gap_us")
+                >= F.col("gap_minutes").cast("bigint") * 60000000
+            ),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        d.crossJoin(F.broadcast(g))
+        .groupBy("gap_minutes")
+        .agg(
+            starts.cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.count(F.lit(1)).cast("double") / starts, 6).alias(
+                "mean_events_per_session"
+            ),
+        )
+        .orderBy("gap_minutes")
+    )

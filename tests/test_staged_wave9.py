@@ -26,6 +26,7 @@ STAGED = [
     "q229_benford_first_digit",
     "q230_frame_hash_neardup",
     "q231_vocab_overlap_hll",
+    "q232_session_gap_sweep",
 ]
 
 
@@ -191,3 +192,17 @@ def test_hll_set_algebra_sane(spark, duck):
         assert r.hll_est_union >= 0.95 * max(r.hll_est_a, r.hll_est_b)
         # inclusion-exclusion amplifies HLL error; generous band
         assert abs(r.hll_jaccard - r.exact_jaccard) < 0.5
+
+
+def test_session_gap_sweep_monotone(spark):
+    """A larger inactivity gap can only merge sessions: n_sessions is
+    non-increasing in the gap, and every threshold yields at least one
+    session per active user."""
+    rows = sorted(
+        _REGISTRY["q232_session_gap_sweep"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.gap_minutes,
+    )
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.n_events == rows[0].n_events for r in rows)
+    assert all(r.mean_events_per_session >= 1.0 for r in rows)
