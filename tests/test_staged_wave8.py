@@ -224,3 +224,29 @@ def test_countmin_counters_merge_by_sum(spark, duck):
         k: h1.get(k, 0) + h2.get(k, 0) for k in set(h1) | set(h2)
     }
     assert merged == full
+
+
+def test_levenshtein_ascii_parity_fuzz(spark):
+    """Seeded fuzz of the q218 precondition over 200 random
+    printable-ASCII pairs (varied lengths incl. empty and 120-char
+    prefixes): Spark and DuckDB levenshtein agree on every one."""
+    import random
+    import string
+
+    rng = random.Random(20260814)
+    alphabet = string.printable[:95]  # printable ASCII incl. space
+
+    def rand_s():
+        n = rng.choice([0, 1, 3, 10, 40, 120])
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    pairs = [(rand_s(), rand_s()) for _ in range(200)]
+    srows = (
+        spark.createDataFrame(pairs, "a string, b string")
+        .select("a", "b", F.levenshtein("a", "b").alias("d"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in srows:
+        (d,) = con.execute("SELECT levenshtein(?, ?)", [r.a, r.b]).fetchone()
+        assert d == r.d, (r.a, r.b)
