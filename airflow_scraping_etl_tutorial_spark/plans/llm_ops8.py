@@ -825,3 +825,104 @@ def q232_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_minutes")
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — order-header vs line-item reconciliation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q233_order_reconciliation",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS line_sum
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.o_totalprice, ls.line_sum,
+             CASE
+               WHEN ls.line_sum IS NULL THEN '0_missing_lines'
+               WHEN CAST(o.o_totalprice - CAST(ls.line_sum AS DOUBLE)
+                         AS DOUBLE) / o.o_totalprice < -0.5
+                 THEN '1_under_50pct_plus'
+               WHEN CAST(o.o_totalprice - CAST(ls.line_sum AS DOUBLE)
+                         AS DOUBLE) / o.o_totalprice < -0.1
+                 THEN '2_under_10_50pct'
+               WHEN CAST(o.o_totalprice - CAST(ls.line_sum AS DOUBLE)
+                         AS DOUBLE) / o.o_totalprice <= 0.1
+                 THEN '3_within_10pct'
+               WHEN CAST(o.o_totalprice - CAST(ls.line_sum AS DOUBLE)
+                         AS DOUBLE) / o.o_totalprice <= 0.5
+                 THEN '4_over_10_50pct'
+               ELSE '5_over_50pct_plus'
+             END AS band
+      FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS header_total,
+           CAST(ROUND(COALESCE(SUM(line_sum), 0), 2) AS DOUBLE)
+             AS line_total
+    FROM j GROUP BY band ORDER BY band
+    """,
+    tags=("relational", "reconciliation", "quality", "audit"),
+)
+def q233_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: every order's header total against
+    the decimal-exact sum of its line items (TPC-H's own invariant:
+    o_totalprice == SUM(extendedprice*(1+tax)*(1-discount))), banded
+    by relative discrepancy with an explicit bucket for orders that
+    have NO line items at all. This fixture deliberately violates the
+    invariant (synthetic totals), so the report shows a real
+    violation distribution — the generalization of the reference's
+    arity gate (dags/Final_app.py:79-87) from one row's shape to a
+    cross-table accounting identity. The reconciliation join is
+    key-grain (order-level sums first, the q149/q227 distinct-first
+    economics); line money follows the functions/compare.py decimal
+    doctrine, and the banding ratio is one deterministic double
+    division per order.
+
+    At 100 TB this is the daily close-of-books job: two key-grain
+    aggregates and a key join — never a row-level fact-to-fact join."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ls = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 + F.col("l_tax"))
+                * (1 - F.col("l_discount"))
+            ).cast("decimal(18,6)")
+        ).alias("line_sum")
+    )
+    rel = (
+        F.col("o_totalprice") - F.col("line_sum").cast("double")
+    ).cast("double") / F.col("o_totalprice")
+    band = (
+        F.when(F.col("line_sum").isNull(), "0_missing_lines")
+        .when(rel < -0.5, "1_under_50pct_plus")
+        .when(rel < -0.1, "2_under_10_50pct")
+        .when(rel <= 0.1, "3_within_10pct")
+        .when(rel <= 0.5, "4_over_10_50pct")
+        .otherwise("5_over_50pct_plus")
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        o.join(ls, "o_orderkey", "left")
+        .select(F.col("o_totalprice"), F.col("line_sum"), band.alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("header_total"),
+            F.round(F.coalesce(F.sum("line_sum"), zero), 2)
+            .cast("double")
+            .alias("line_total"),
+        )
+        .orderBy("band")
+    )

@@ -27,6 +27,7 @@ STAGED = [
     "q230_frame_hash_neardup",
     "q231_vocab_overlap_hll",
     "q232_session_gap_sweep",
+    "q233_order_reconciliation",
 ]
 
 
@@ -206,3 +207,18 @@ def test_session_gap_sweep_monotone(spark):
     assert counts == sorted(counts, reverse=True)
     assert all(r.n_events == rows[0].n_events for r in rows)
     assert all(r.mean_events_per_session >= 1.0 for r in rows)
+
+
+def test_reconciliation_covers_every_order(spark, duck):
+    """Band counts partition the orders table exactly (no order lost or
+    double-counted by the reconciliation join), and the missing-lines
+    band matches the true orphan-order count."""
+    rows = _REGISTRY["q233_order_reconciliation"].fn(spark, SF_DIR).collect()
+    (n_orders,) = duck.execute("SELECT COUNT(*) FROM orders").fetchone()
+    assert sum(r.n_orders for r in rows) == n_orders
+    (n_orphans,) = duck.execute(
+        """SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+           (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""
+    ).fetchone()
+    missing = {r.band: r.n_orders for r in rows}.get("0_missing_lines", 0)
+    assert missing == n_orphans
