@@ -926,3 +926,112 @@ def q233_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — robust (median/MAD) outlier audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q234_mad_outlier_audit",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT e.event_type, e.event_id, ABS(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    rd AS (
+      SELECT event_type, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mads AS (SELECT event_type, dev AS mad FROM rd WHERE rn = (n + 1) // 2)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MIN(d.med), 6) AS median_value,
+           ROUND(MIN(s.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.dev > CAST('4.4478' AS DOUBLE) * s.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN d.dev > CAST('4.4478' AS DOUBLE) * s.mad
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS outlier_rate
+    FROM d JOIN mads s ON s.event_type = d.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    tags=("llm", "robust", "outlier", "audit"),
+)
+def q234_mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: median and MAD (median
+    absolute deviation) with outliers defined as deviation > 3 sigma-
+    equivalents (3 * 1.4826 * MAD — the consistency constant for
+    normal data). Unlike q190's mean/stddev gate, median/MAD have a
+    50% breakdown point: the outliers themselves cannot drag the
+    threshold, which is what you want when the column is ALREADY
+    suspected dirty. Both medians are LOWER medians selected by
+    integer rank ((n+1) div 2 with an event_id tiebreak), so each is
+    an exact data value on both engines — no interpolation, no
+    floating accumulation anywhere; the only derived doubles are one
+    subtraction per row and one shared string-cast constant.
+
+    Scale: two type-keyed window passes (same shuffle key) + one
+    broadcast-sized medians join per pass; at 10^9 rows/type the
+    rank-selection generalizes to the partition-wise two-pass
+    median-of-medians or a quantile sketch (documented tradeoff) —
+    the audit's contract (exact data values) is what the catalog
+    verifies."""
+    ev = load(spark, sf_dir, "events")
+    wr = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "med",
+    )
+    wd = W.partitionBy("event_type").orderBy("dev", "event_id")
+    rd = d.select(
+        "event_type",
+        "dev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mads = rd.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    out_flag = F.when(
+        F.col("dev") > F.lit(4.4478) * F.col("mad"), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(out_flag).cast("bigint").alias("n_outliers"),
+            F.round(F.sum(out_flag).cast("double") / F.count(F.lit(1)), 6).alias(
+                "outlier_rate"
+            ),
+        )
+        .orderBy("event_type")
+    )

