@@ -1,0 +1,188 @@
+"""Staged wave-10 catalog entries (plans/llm_ops9.py): value-level
+oracle comparison at sf0.001 plus the structural guarantees the wave
+claims — the chunk-audit closed forms vs an explicit enumeration,
+containment >= jaccard, BM25 idf positivity, compaction row
+conservation, and the burst detector's integer decision rule."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_scraping_etl_tutorial_spark.plans import llm_ops9  # noqa: F401  (registers)
+from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+STAGED = [
+    "q235_bm25_retrieval",
+    "q236_rag_chunk_audit",
+    "q237_shingle_containment",
+    "q238_source_term_cosine",
+    "q239_quality_budget_packing",
+    "q240_ewma_burst_detection",
+    "q241_cdc_compaction_audit",
+    "q242_item_cooccurrence_affinity",
+    "q243_quality_vs_dup_lift",
+    "q244_bigram_entropy_rate",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def nv(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else v
+        return str(v)
+
+    out = [tuple(nv(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_query_matches_oracle(spark, duck, name):
+    spec = _REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    srows = sdf.collect()
+    rel = duck.sql(spec.oracle)
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    orows = rel.fetchall()
+    assert len(srows) > 0, "staged queries must be non-empty at sf0.001"
+    assert not any("HUGEINT" in t for t in otypes), (
+        "oracle output contains HUGEINT — the round-6 lesson: "
+        f"cast to BIGINT ({dict(zip(ocols, otypes))})"
+    )
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert _norm(srows, sdf.columns) == _norm(orows, ocols)
+
+
+def test_staged_wave10_not_registered_in_driver_contract(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
+    from airflow_scraping_etl_tutorial_spark.plans.registry import (
+        _QUERY_MODULES,
+        all_queries,
+    )
+
+    assert "llm_ops9" not in ",".join(_QUERY_MODULES)
+    names = set(all_queries())
+    assert not names & set(STAGED)
+
+
+def _chunk_sim(n: int, size: int = 32, stride: int = 24):
+    """Explicit chunk enumeration the q236 closed forms must match."""
+    starts = [0]
+    while starts[-1] + size < n:
+        starts.append(starts[-1] + stride)
+    sizes = [min(size, n - s) for s in starts]
+    nc = len(starts)
+    emitted = sum(sizes)
+    pad = size * nc - emitted
+    return nc, emitted - n, pad
+
+
+def test_chunk_closed_forms_match_enumeration():
+    for n in range(1, 400):
+        nc = 1 if n <= 32 else 1 + (n - 9) // 24
+        overlap = 8 * (nc - 1)
+        pad = 24 * nc + 8 - n
+        assert (nc, overlap, pad) == _chunk_sim(n), n
+
+
+def test_containment_dominates_jaccard(spark):
+    out = _REGISTRY["q237_shingle_containment"].fn(spark, SF_DIR).collect()
+    assert out, "fixture has near-dup pairs; containment output must be non-empty"
+    for r in out:
+        assert r.containment >= r.jaccard - 1e-9
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.containment <= 1.0 + 1e-9
+
+
+def test_bm25_scores_positive_and_sorted(spark):
+    rows = _REGISTRY["q235_bm25_retrieval"].fn(spark, SF_DIR).collect()
+    assert rows
+    # Lucene idf form is strictly positive, so scores must be too.
+    assert all(r.bm25 > 0 for r in rows)
+    assert [r.bm25 for r in rows] == sorted((r.bm25 for r in rows), reverse=True)
+    assert all(1 <= r.n_terms_hit <= 5 for r in rows)
+
+
+def test_cdc_compaction_conserves_rows_and_users(spark):
+    from airflow_scraping_etl_tutorial_spark.sources.tables import load
+
+    ev = load(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    rows = _REGISTRY["q241_cdc_compaction_audit"].fn(spark, SF_DIR).collect()
+    assert sum(r.total_rows for r in rows) == n_events
+    # exactly one live row per user across all types
+    assert sum(r.live_rows for r in rows) == n_users
+    for r in rows:
+        assert r.total_rows == r.live_rows + r.superseded_rows
+
+
+def test_burst_flag_matches_integer_rule(spark):
+    rows = _REGISTRY["q240_ewma_burst_detection"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expect = 1 if (r.decay_num > 0 and 127 * r.n_events > 2 * r.decay_num) else 0
+        assert r.is_burst == expect
+        if r.decay_num == 0:
+            assert r.burst_ratio is None
+
+
+def test_budget_packing_respects_half_budget(spark, duck):
+    rows = _REGISTRY["q239_quality_budget_packing"].fn(spark, SF_DIR).collect()
+    total = duck.sql(
+        "SELECT SUM(LEN(STRING_SPLIT(text,' '))) FROM documents"
+    ).fetchone()[0]
+    sel = sum(r.sel_tokens for r in rows)
+    assert 2 * sel <= total
+    assert sum(r.n_selected for r in rows) > 0
+
+
+def test_affinity_jaccard_bounds_and_cap(spark):
+    rows = _REGISTRY["q242_item_cooccurrence_affinity"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common >= 1
+
+
+def test_quality_dup_lift_counts(spark):
+    rows = _REGISTRY["q243_quality_vs_dup_lift"].fn(spark, SF_DIR).collect()
+    assert {r.decile for r in rows} <= set(range(1, 11))
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_docs
+
+
+def test_entropy_rate_nonnegative_and_bounded(spark, duck):
+    rows = _REGISTRY["q244_bigram_entropy_rate"].fn(spark, SF_DIR).collect()
+    assert rows
+    # H(w2|w1) in nats: nonnegative, at most LN(vocab size).
+    vocab = duck.sql(
+        "SELECT COUNT(DISTINCT tok) FROM "
+        "(SELECT UNNEST(STRING_SPLIT(text,' ')) AS tok FROM documents)"
+    ).fetchone()[0]
+    for r in rows:
+        assert -1e-9 <= r.entropy_rate <= math.log(vocab) + 1e-9

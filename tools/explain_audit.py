@@ -92,6 +92,14 @@ AUDITED = (
     "q232_session_gap_sweep",
     "q233_order_reconciliation",
     "q234_mad_outlier_audit",
+    # staged wave 10 (plans/llm_ops9.py; auto-loaded via EXTRA_MODULES)
+    "q235_bm25_retrieval",
+    "q237_shingle_containment",
+    "q238_source_term_cosine",
+    "q239_quality_budget_packing",
+    "q241_cdc_compaction_audit",
+    "q242_item_cooccurrence_affinity",
+    "q244_bigram_entropy_rate",
 )
 
 
@@ -124,7 +132,8 @@ def main() -> None:
     os.environ.setdefault(
         "SPARK_GRAFT_EXTRA_MODULES",
         "airflow_scraping_etl_tutorial_spark.plans.llm_ops7,"
-        "airflow_scraping_etl_tutorial_spark.plans.llm_ops8",
+        "airflow_scraping_etl_tutorial_spark.plans.llm_ops8,"
+        "airflow_scraping_etl_tutorial_spark.plans.llm_ops9",
     )
     specs = all_queries()
 
