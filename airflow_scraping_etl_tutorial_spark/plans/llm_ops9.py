@@ -44,7 +44,7 @@ from ..functions.caching import tag_intermediates
 from ..operators.dedup import shingle_hashes
 from ..operators.text import tokens
 from ..sources.tables import load
-from .llm_ops import _SQL_SHINGLES3, _sql_hex60, _sql_minhash_pairs
+from .llm_ops import _SQL_SHINGLES3, _sql_cosine, _sql_hex60, _sql_minhash_pairs
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -53,11 +53,10 @@ from .registry import query
 
 _BM25_TERMS = ("batch", "hash", "merge", "row", "scan")
 
-
-@query(
-    "q235_bm25_retrieval",
-    oracle=f"""
-    WITH tk AS (
+# Shared CTE chain ending in `bm` = (doc_id, n_terms_hit, bm25) — the
+# per-doc BM25 table q235 ranks and q245 fuses. Kept as one string so
+# the lexical scorer cannot drift between its two consumers.
+_SQL_BM25_CTES = f"""tk AS (
       SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
     ),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
@@ -85,35 +84,17 @@ _BM25_TERMS = ("batch", "hash", "merge", "row", "scan")
       JOIN dl l ON l.doc_id = f.doc_id
       JOIN dfx d ON d.tok = f.tok
       CROSS JOIN n CROSS JOIN t
-    )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
-           ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25
-    FROM scored GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id LIMIT 20
-    """,
-    tags=("llm", "retrieval", "bm25", "ranking"),
-)
-def q235_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (Okapi, Lucene idf form) top-20 retrieval for a fixed
-    query-term set — the lexical half of a RAG retrieval stack (the
-    dense half is q71-q76). k1=1.2, b=0.75; idf = LN(1+(N-df+.5)/
-    (df+.5)) is always positive, so stop-ish terms rank low instead
-    of negative.
+    ),
+    bm AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25
+      FROM scored GROUP BY doc_id
+    )"""
 
-    Cross-engine determinism: df/dl/N/T are integers; every double
-    expression is built with an identical association on both engines
-    (IEEE ops are deterministic given identical operands), the one
-    libm call (LN) is quantized to DECIMAL(18,6) before use, and the
-    per-doc score is a DECIMAL sum of DECIMAL(18,6)-quantized term
-    scores, so accumulation order cannot move the hash (q85/q128
-    doctrine). Non-dyadic constants enter as string-cast literals
-    (wave-9 Benford lesson).
 
-    Scale: the posting-list join keys on (doc_id, term) with the
-    query's 5 terms pre-filtered at the scan, so only matching
-    postings shuffle; df (5 rows) and the N/T scalars broadcast;
-    TakeOrderedAndProject caps the result. At 100 TB the dl table is
-    the only corpus-sized side and it carries two longs per doc."""
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str):
+    """Spark twin of _SQL_BM25_CTES: (doc_id, n_terms_hit, bm25)
+    unordered, plus the persisted token handle for the caller to tag."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     toks = toks.persist()
@@ -155,18 +136,51 @@ def q235_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    scored = j.select("doc_id", (idf * tf_part).alias("s"))
-    out = (
-        scored.groupBy("doc_id")
+    bm = (
+        j.select("doc_id", (idf * tf_part).alias("s"))
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_terms_hit"),
             F.round(F.sum(F.col("s").cast("decimal(18,6)")).cast("double"), 6).alias(
                 "bm25"
             ),
         )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
     )
+    return bm, toks
+
+
+@query(
+    "q235_bm25_retrieval",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES}
+    SELECT doc_id, n_terms_hit, bm25
+    FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "retrieval", "bm25", "ranking"),
+)
+def q235_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, Lucene idf form) top-20 retrieval for a fixed
+    query-term set — the lexical half of a RAG retrieval stack (the
+    dense half is q71-q76). k1=1.2, b=0.75; idf = LN(1+(N-df+.5)/
+    (df+.5)) is always positive, so stop-ish terms rank low instead
+    of negative.
+
+    Cross-engine determinism: df/dl/N/T are integers; every double
+    expression is built with an identical association on both engines
+    (IEEE ops are deterministic given identical operands), the one
+    libm call (LN) is quantized to DECIMAL(18,6) before use, and the
+    per-doc score is a DECIMAL sum of DECIMAL(18,6)-quantized term
+    scores, so accumulation order cannot move the hash (q85/q128
+    doctrine). Non-dyadic constants enter as string-cast literals
+    (wave-9 Benford lesson).
+
+    Scale: the posting-list join keys on (doc_id, term) with the
+    query's 5 terms pre-filtered at the scan, so only matching
+    postings shuffle; df (5 rows) and the N/T scalars broadcast;
+    TakeOrderedAndProject caps the result. At 100 TB the dl table is
+    the only corpus-sized side and it carries two longs per doc."""
+    bm, toks = _bm25_doc_scores(spark, sf_dir)
+    out = bm.orderBy(F.desc("bm25"), "doc_id").limit(20)
     return tag_intermediates(out, toks)
 
 
@@ -948,3 +962,204 @@ def q244_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
     return tag_intermediates(out, bi)
+
+
+# ---------------------------------------------------------------------------
+# q245 — hybrid retrieval fusion (RRF over BM25 + dense cosine)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 100  # fuse the top-100 of each ranking
+
+
+@query(
+    "q245_rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES},
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+               AS lr
+      FROM bm
+    ),
+    lex100 AS (SELECT doc_id, lr FROM lex WHERE lr <= {_RRF_DEPTH}),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cosd AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND({_sql_cosine('e.embedding', 'qv.embedding')}, 6) AS c
+      FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+    ),
+    den AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS INTEGER) AS dr
+      FROM cosd
+    ),
+    den100 AS (SELECT doc_id, dr FROM den WHERE dr <= {_RRF_DEPTH}),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.lr AS lex_rank, d.dr AS dense_rank,
+             CAST(CASE WHEN l.lr IS NULL THEN 0
+                       ELSE 1000000 // ({_RRF_K} + l.lr) END
+                + CASE WHEN d.dr IS NULL THEN 0
+                       ELSE 1000000 // ({_RRF_K} + d.dr) END AS BIGINT)
+               AS rrf_score_ppm
+      FROM lex100 l FULL OUTER JOIN den100 d ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, rrf_score_ppm, lex_rank, dense_rank
+    FROM fused ORDER BY rrf_score_ppm DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "retrieval", "hybrid", "rrf"),
+)
+def q245_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion: the q235 BM25
+    ranking (lexical) and a dense cosine ranking against a fixed query
+    vector (vec_id 0, the dense twin of q235's fixed term set) are
+    fused as RRF(d) = Σ 1/(60+rank_d) over the two top-100 lists —
+    the standard way production search blends sparse and dense
+    retrieval without score calibration, since RRF consumes only
+    RANKS. Scores are computed in parts-per-million INTEGER arithmetic
+    (1000000 div (60+rank)), so fusion is bit-exact on both engines;
+    ranks themselves are deterministic (BM25 rounded to 6 with doc_id
+    tiebreak; cosine likewise — the q71 bit-identical fold). A doc
+    absent from one list contributes zero from it (full outer join).
+
+    Scale: each ranking is already top-k-bounded before the fusion
+    join (TakeOrdered-style), so the fusion input is 2·depth rows
+    regardless of corpus size; the dense side broadcasts the single
+    query vector and never moves the corpus."""
+    from ..operators.similarity import cosine
+
+    bm, toks = _bm25_doc_scores(spark, sf_dir)
+    lex = (
+        bm.select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("int")
+            .alias("lr"),
+        )
+        .filter(F.col("lr") <= _RRF_DEPTH)
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cosd = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("c"),
+        )
+    )
+    den = (
+        cosd.select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("c"), "doc_id"))
+            .cast("int")
+            .alias("dr"),
+        )
+        .filter(F.col("dr") <= _RRF_DEPTH)
+    )
+    fused = lex.join(den, "doc_id", "full_outer")
+    rrf = (
+        F.when(F.col("lr").isNull(), 0).otherwise(
+            F.expr(f"1000000 div ({_RRF_K} + lr)")
+        )
+        + F.when(F.col("dr").isNull(), 0).otherwise(
+            F.expr(f"1000000 div ({_RRF_K} + dr)")
+        )
+    ).cast("bigint")
+    out = (
+        fused.select(
+            "doc_id",
+            rrf.alias("rrf_score_ppm"),
+            F.col("lr").alias("lex_rank"),
+            F.col("dr").alias("dense_rank"),
+        )
+        .orderBy(F.desc("rrf_score_ppm"), "doc_id")
+        .limit(20)
+    )
+    return tag_intermediates(out, toks)
+
+
+# ---------------------------------------------------------------------------
+# q246 — A/B assignment sample-ratio-mismatch audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q246_ab_assignment_srm_audit",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    gated AS (
+      SELECT user_id,
+             CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 2)
+                  AS INTEGER) AS gate
+      FROM u
+    ),
+    assigned AS (
+      SELECT CASE WHEN gate < 128 THEN 'control'
+                  WHEN gate < 192 THEN 'variant_a'
+                  ELSE 'variant_b' END AS variant,
+             CASE WHEN gate < 128 THEN 128 ELSE 64 END AS exp_x256
+      FROM gated
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM u)
+    SELECT a.variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(a.exp_x256) * t.n AS BIGINT) AS expected_x256,
+           CAST(256 * COUNT(*) - MIN(a.exp_x256) * t.n AS BIGINT) AS delta_x256,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS obs_share
+    FROM assigned a CROSS JOIN tot t
+    GROUP BY a.variant, t.n ORDER BY a.variant
+    """,
+    tags=("streaming", "experiment", "srm", "audit"),
+)
+def q246_ab_assignment_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-assignment health: users are deterministically
+    bucketed into a 50/25/25 experiment by an md5 gate (the q105
+    split doctrine — assignment is a pure function of the key, salted
+    per experiment, stable under reruns and corpus growth), and the
+    observed arm sizes are compared to expectation as an exact
+    integer sample-ratio-mismatch delta: delta_x256 = 256*observed -
+    expected_weight*total. A drifting delta is the classic symptom of
+    a broken bucketing pipeline (bot filtering applied after
+    assignment, collisions, truncated ids) that silently invalidates
+    every downstream metric. Map-only assignment; one distinct-user
+    aggregate; the SRM arithmetic never leaves integers except the
+    one reported share."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    gate = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    assigned = u.select(
+        F.when(gate < 128, "control")
+        .when(gate < 192, "variant_a")
+        .otherwise("variant_b")
+        .alias("variant"),
+        F.when(gate < 128, 128).otherwise(64).alias("exp_x256"),
+    )
+    tot = u.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy("variant", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.min("exp_x256") * F.col("n")).cast("bigint").alias("expected_x256"),
+            (F.lit(256) * F.count(F.lit(1)) - F.min("exp_x256") * F.col("n"))
+            .cast("bigint")
+            .alias("delta_x256"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.col("n").cast("double"), 6
+            ).alias("obs_share"),
+        )
+        .select(
+            "variant", "n_users", "expected_x256", "delta_x256", "obs_share"
+        )
+        .orderBy("variant")
+    )

@@ -29,6 +29,8 @@ STAGED = [
     "q242_item_cooccurrence_affinity",
     "q243_quality_vs_dup_lift",
     "q244_bigram_entropy_rate",
+    "q245_rrf_hybrid_retrieval",
+    "q246_ab_assignment_srm_audit",
 ]
 
 
@@ -174,6 +176,38 @@ def test_quality_dup_lift_counts(spark):
     assert {r.decile for r in rows} <= set(range(1, 11))
     for r in rows:
         assert 0 <= r.n_dup <= r.n_docs
+
+
+def test_rrf_fusion_integer_identity(spark):
+    rows = _REGISTRY["q245_rrf_hybrid_retrieval"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expect = 0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= 100
+            expect += 1000000 // (60 + r.lex_rank)
+        if r.dense_rank is not None:
+            assert 1 <= r.dense_rank <= 100
+            expect += 1000000 // (60 + r.dense_rank)
+        assert r.rrf_score_ppm == expect
+        assert r.lex_rank is not None or r.dense_rank is not None
+    scores = [r.rrf_score_ppm for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_srm_audit_conserves_users_and_deltas(spark):
+    from airflow_scraping_etl_tutorial_spark.sources.tables import load
+
+    rows = _REGISTRY["q246_ab_assignment_srm_audit"].fn(spark, SF_DIR).collect()
+    ev = load(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    # deltas across arms must cancel: sum(256*obs) == 256*total and
+    # sum(expected_x256) == (128+64+64)*total == 256*total.
+    assert sum(r.delta_x256 for r in rows) == 0
+    for r in rows:
+        assert r.expected_x256 in (128 * n_users, 64 * n_users)
+        assert 256 * r.n_users - r.expected_x256 == r.delta_x256
 
 
 def test_entropy_rate_nonnegative_and_bounded(spark, duck):

@@ -100,6 +100,7 @@ AUDITED = (
     "q241_cdc_compaction_audit",
     "q242_item_cooccurrence_affinity",
     "q244_bigram_entropy_rate",
+    "q245_rrf_hybrid_retrieval",
 )
 
 
