@@ -1,0 +1,151 @@
+"""Catalog-wide structural lint over live AND staged entries — the
+round-6 mirror/driver lesson (VERDICT item 2) as a permanent gate:
+every cross-engine trap this repo has been burned by becomes a static
+check here, so a new entry cannot reintroduce one and pass CI.
+
+Covers:
+- dialect traps in the oracle SQL (bare FILTER clauses, WITH
+  ORDINALITY, md5_number endianness, float-quotient -> BIGINT casts,
+  unvetted POW);
+- oracle OUTPUT schema (no HUGEINT/UHUGEINT — the round-6 root cause
+  of the 8 r05 reds; no list/struct/map/blob — the q29 canonicalizer
+  crash);
+- Spark OUTPUT schema (no array/map/struct/binary/timestamp — only
+  scalar types and DATE survive the driver comparator).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import duckdb
+import pytest
+
+STAGED_MODULES = (
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops7",
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops8",
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops9",
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    os.environ["SPARK_GRAFT_EXTRA_MODULES"] = ",".join(STAGED_MODULES)
+    try:
+        from airflow_scraping_etl_tutorial_spark.plans import all_queries
+
+        yield all_queries()
+    finally:
+        os.environ.pop("SPARK_GRAFT_EXTRA_MODULES", None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+# q35 exercises POW deliberately AS the math-function surface; its
+# ROUND(POW(int, 2), 2) output is exact and has been driver-attested
+# green since round 1. Everything else must write x*x (q98 lesson:
+# DuckDB POW differs from Java's in the last ulp).
+POW_ALLOWED = {"q35_math_functions"}
+
+# DuckDB CAST(DOUBLE AS BIGINT) ROUNDS where Spark truncates; a float
+# quotient cast to BIGINT is the q110 trap. Truncating integer `//` or
+# explicit FLOOR must be used instead. (Integer-division quotients are
+# fine — the regex only fires on `/` with a following cast.)
+_FLOAT_QUOTIENT_CAST = re.compile(
+    r"CAST\s*\([^()]*(?<!/)/(?!/)[^()]*AS\s+BIGINT\s*\)", re.I
+)
+
+
+def test_no_bare_filter_clause(specs):
+    bad = [
+        n
+        for n, s in specs.items()
+        if s.oracle and re.search(r"\)\s*FILTER\s*\(", s.oracle, re.I)
+    ]
+    assert not bad, f"bare FILTER clause (use CASE WHEN — q155 lesson): {bad}"
+
+
+def test_no_known_unsupported_or_endian_constructs(specs):
+    for pat, why in [
+        (r"WITH\s+ORDINALITY", "DuckDB lacks WITH ORDINALITY"),
+        (r"md5_number", "md5_number_* is little-endian (use '0x'||SUBSTR cast)"),
+    ]:
+        bad = [
+            n for n, s in specs.items() if s.oracle and re.search(pat, s.oracle, re.I)
+        ]
+        assert not bad, f"{why}: {bad}"
+
+
+def test_pow_only_in_vetted_entries(specs):
+    bad = [
+        n
+        for n, s in specs.items()
+        if s.oracle
+        and re.search(r"\bPOW\s*\(", s.oracle, re.I)
+        and n not in POW_ALLOWED
+    ]
+    assert not bad, f"POW differs from Java in the last ulp — write x*x: {bad}"
+
+
+def test_no_float_quotient_bigint_cast(specs):
+    bad = [
+        n
+        for n, s in specs.items()
+        if s.oracle and _FLOAT_QUOTIENT_CAST.search(s.oracle)
+    ]
+    assert not bad, (
+        "CAST(a/b AS BIGINT) rounds in DuckDB but truncates in Spark "
+        f"(q110 lesson — use // on ints or FLOOR on doubles): {bad}"
+    )
+
+
+def test_oracle_output_schemas_are_scalar_and_hugeint_free(specs, duck):
+    offenders: dict[str, dict[str, str]] = {}
+    for name, spec in specs.items():
+        if not spec.oracle:
+            continue
+        rel = duck.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
+        tys = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+        bad = {
+            c: t
+            for c, t in tys.items()
+            if "HUGEINT" in t
+            or t.endswith("[]")
+            or t.startswith(("STRUCT", "MAP", "BLOB", "UNION"))
+        }
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle outputs must be scalar and HUGEINT-free (round-6 root "
+        f"cause / q29 canonicalizer crash): {offenders}"
+    )
+
+
+def test_spark_output_schemas_are_scalar(specs, spark):
+    offenders: dict[str, list[tuple[str, str]]] = {}
+    for name, spec in specs.items():
+        dts = spec.fn(spark, SF_DIR).dtypes
+        bad = [
+            (c, t)
+            for c, t in dts
+            if t.startswith(("array", "map", "struct", "binary", "timestamp"))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "Spark outputs must be scalar (timestamps project as DATE/"
+        f"string/epoch — NOTES doctrine): {offenders}"
+    )
