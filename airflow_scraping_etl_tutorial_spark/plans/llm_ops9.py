@@ -544,6 +544,46 @@ def q239_quality_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def dyadic_burst_frame(d: DataFrame) -> DataFrame:
+    """The q240 detector over any (event_type, day, cnt) frame — shared
+    with the streaming path (streaming/events.py::daily_counts feeds
+    micro-batch-accumulated daily counts through this identical logic,
+    test-asserted equal to the batch plan)."""
+    w = W.partitionBy("event_type").orderBy("day")
+    decay = (
+        F.lit(64) * F.lag("cnt", 1, 0).over(w)
+        + F.lit(32) * F.lag("cnt", 2, 0).over(w)
+        + F.lit(16) * F.lag("cnt", 3, 0).over(w)
+        + F.lit(8) * F.lag("cnt", 4, 0).over(w)
+        + F.lit(4) * F.lag("cnt", 5, 0).over(w)
+        + F.lit(2) * F.lag("cnt", 6, 0).over(w)
+        + F.lag("cnt", 7, 0).over(w)
+    )
+    l = d.select("event_type", "day", "cnt", decay.alias("decay_num"))
+    return l.select(
+        "event_type",
+        "day",
+        F.col("cnt").cast("bigint").alias("n_events"),
+        F.col("decay_num").cast("bigint").alias("decay_num"),
+        F.when(
+            F.col("decay_num") > 0,
+            F.round(
+                (F.lit(127) * F.col("cnt")).cast("double")
+                / F.col("decay_num").cast("double"),
+                6,
+            ),
+        ).alias("burst_ratio"),
+        F.when(
+            (F.lit(127) * F.col("cnt") > F.lit(2) * F.col("decay_num"))
+            & (F.col("decay_num") > 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_burst"),
+    ).orderBy("event_type", "day")
+
+
+
 @query(
     "q240_ewma_burst_detection",
     oracle="""
@@ -593,38 +633,7 @@ def q240_ewma_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = W.partitionBy("event_type").orderBy("day")
-    decay = (
-        F.lit(64) * F.lag("cnt", 1, 0).over(w)
-        + F.lit(32) * F.lag("cnt", 2, 0).over(w)
-        + F.lit(16) * F.lag("cnt", 3, 0).over(w)
-        + F.lit(8) * F.lag("cnt", 4, 0).over(w)
-        + F.lit(4) * F.lag("cnt", 5, 0).over(w)
-        + F.lit(2) * F.lag("cnt", 6, 0).over(w)
-        + F.lag("cnt", 7, 0).over(w)
-    )
-    l = d.select("event_type", "day", "cnt", decay.alias("decay_num"))
-    return l.select(
-        "event_type",
-        "day",
-        F.col("cnt").cast("bigint").alias("n_events"),
-        F.col("decay_num").cast("bigint").alias("decay_num"),
-        F.when(
-            F.col("decay_num") > 0,
-            F.round(
-                (F.lit(127) * F.col("cnt")).cast("double")
-                / F.col("decay_num").cast("double"),
-                6,
-            ),
-        ).alias("burst_ratio"),
-        F.when(
-            (F.lit(127) * F.col("cnt") > F.lit(2) * F.col("decay_num"))
-            & (F.col("decay_num") > 0),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_burst"),
-    ).orderBy("event_type", "day")
+    return dyadic_burst_frame(d)
 
 
 # ---------------------------------------------------------------------------

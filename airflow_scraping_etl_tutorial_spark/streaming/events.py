@@ -95,6 +95,25 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def daily_counts(events: DataFrame, watermark: str = "25 hours") -> DataFrame:
+    """Watermarked daily tumbling counts per event type — the
+    streaming feed of the dyadic-decay burst detector
+    (plans/llm_ops9.py::dyadic_burst_frame): the stream maintains one
+    day of open state per type, closed days emit downstream, and the
+    detector's LAG window runs over the emitted (type, day, cnt) rows
+    exactly as in the batch plan (q240) — test-asserted equal."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
 def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked sliding-window aggregation (1 h / 30 min)."""
     return (

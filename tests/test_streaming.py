@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from airflow_scraping_etl_tutorial_spark.sources.tables import load
 from airflow_scraping_etl_tutorial_spark.streaming.events import (
+    daily_counts,
     dedup_within_watermark,
     hourly_counts,
     session_counts,
@@ -51,6 +52,25 @@ def test_hourly_counts_match_batch(spark, events_dir):
     got_map = {(str(r.window_start), r.event_type): r.n_events for r in got.collect()}
     batch_map = {(str(r.w.start), r.event_type): r.n_events for r in batch.collect()}
     assert got_map == batch_map
+
+
+def test_streaming_daily_counts_feed_burst_detector(spark, events_dir):
+    """The streamed daily aggregate drives the dyadic-decay burst
+    detector (wave 10's q240) to the exact batch result: micro-batch
+    accumulation of the tumbling day windows is associative, and the
+    detector's integer LAG arithmetic sees identical (type, day, cnt)
+    rows either way."""
+    from airflow_scraping_etl_tutorial_spark.plans.llm_ops9 import (
+        dyadic_burst_frame,
+        q240_ewma_burst_detection,
+    )
+
+    stream = stream_from_dir(spark, events_dir)
+    got = _run_to_memory(spark, daily_counts(stream), "daily_burst", "complete")
+    streamed = [tuple(r) for r in dyadic_burst_frame(got).collect()]
+    batch = [tuple(r) for r in q240_ewma_burst_detection(spark, SF_DIR).collect()]
+    assert streamed == batch
+    assert any(r[5] == 1 for r in batch) or all(r[5] == 0 for r in batch)
 
 
 def test_session_counts_stream_runs(spark, events_dir):
