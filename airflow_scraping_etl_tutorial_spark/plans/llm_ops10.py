@@ -1,0 +1,495 @@
+"""LLM-ops wave 11 (STAGED for round-8 registration): market-data
+candles, behavioral streaks, embedding-truncation audits, graph
+components, session depth, and operational SLA percentiles — the
+seventh ring of curation/analytics machinery around waves 1-10.
+
+This module is NOT in registry._QUERY_MODULES (same staging protocol
+as waves 8-10 — see plans/llm_ops7.py's docstring): value-checked via
+
+    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops10 \\
+        python tools/check_correctness.py /root/testdata/sf0.01
+
+and by tests/test_staged_wave11.py; round 8 promotes it with one line
+(round 7's driver budget is already full with waves 8-10).
+
+Output-hardening doctrine (as waves 6-10): BIGINT-cast integer
+aggregates, exact integer-rank selection instead of interpolated
+percentiles, raw stored doubles only (never derived-float
+accumulation), min_by/max_by with a unique tiebreak for first/last
+selection, and LEAST/MIN label arithmetic for graph iteration —
+q248/q250/q252 are INTEGER-ONLY; q247/q249 emit raw data values and
+integer overlaps.
+
+Reference parity: the reference scrapes a daily MARKET feed (TWSE
+investment flows — dags/Final_app.py:26-36) and stores one row per
+day; q247's OHLC candles are exactly the aggregate a market pipeline
+builds when the feed is intraday, q248/q251 profile the user activity
+its events table implies, and q252 is the operational-SLA readout of
+the orders its TPC-H twin tracks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .llm_ops import _sql_cosine, _sql_minhash_pairs
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q247 — daily OHLC candles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q247_ohlc_daily_candles",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value, event_id FROM events
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN_BY(value, event_id) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX_BY(value, event_id) AS close_value
+    FROM d GROUP BY event_type, day ORDER BY event_type, day
+    """,
+    tags=("streaming", "events", "ohlc", "finance"),
+)
+def q247_ohlc_daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlesticks per event type — the aggregate a market
+    pipeline builds from an intraday feed (the reference's TWSE flow
+    table IS the one-row-per-day form of this; dags/Final_app.py:26-36).
+    open/close are min_by/max_by on the unique event_id (never a
+    timestamp that could tie), high/low are plain MIN/MAX, and every
+    output is a RAW stored value — no derived-float arithmetic exists
+    to diverge. One map-side-combined aggregate over (type × day);
+    at 100 TB this is the canonical pre-aggregation that makes every
+    downstream chart O(days), and min_by/max_by combine per-partition
+    partials exactly like MIN/MAX."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("event_type", F.to_date("ts").alias("day"), "value", "event_id")
+    return (
+        d.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", "event_id").alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", "event_id").alias("close_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — activity streaks (gaps and islands)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q248_activity_streaks",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+             DATE_DIFF('day', DATE '2024-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM ud
+    ),
+    s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp),
+    mx AS (SELECT user_id, MAX(len) AS max_streak FROM s GROUP BY user_id)
+    SELECT CAST(max_streak AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM mx GROUP BY max_streak ORDER BY streak_days
+    """,
+    tags=("streaming", "events", "streaks", "islands"),
+)
+def q248_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, histogrammed —
+    the gaps-and-islands shape (day-number minus row-number is
+    constant within an island) that powers engagement/retention
+    scoring, done entirely in integer arithmetic: dates become day
+    offsets from a fixed anchor, islands are integer group keys, and
+    the histogram collapses to at most max-streak rows. One user-keyed
+    shuffle (shared with every other per-user window in the family);
+    the distinct (user, day) collapse happens map-side first."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    g = ud.select(
+        "user_id",
+        (F.datediff(F.col("day"), F.lit("2024-01-01")) - F.row_number().over(w)).alias(
+            "grp"
+        ),
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    mx = s.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return (
+        mx.groupBy("max_streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("max_streak").cast("bigint").alias("streak_days"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+        .orderBy("streak_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q249 — Matryoshka truncation audit (16-dim vs 64-dim recall@10)
+# ---------------------------------------------------------------------------
+
+_MRL_QUERIES = (0, 1, 2, 3, 4)
+_MRL_DIM = 16
+
+
+@query(
+    "q249_matryoshka_truncation_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id IN {_MRL_QUERIES!r}
+    ),
+    fr AS (
+      SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_sql_cosine('e.embedding', 'q.qe', 64)} DESC, e.vec_id)
+               AS rn
+      FROM embeddings e JOIN q ON e.vec_id <> q.qid
+    ),
+    tr AS (
+      SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_sql_cosine('e.embedding', 'q.qe', _MRL_DIM)} DESC,
+                        e.vec_id) AS rn
+      FROM embeddings e JOIN q ON e.vec_id <> q.qid
+    ),
+    f10 AS (SELECT qid, vec_id FROM fr WHERE rn <= 10),
+    t10 AS (SELECT qid, vec_id FROM tr WHERE rn <= 10)
+    SELECT f.qid AS query_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_common_at_10
+    FROM f10 f
+    LEFT JOIN t10 t ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+    tags=("llm", "similarity", "matryoshka", "audit"),
+)
+def q249_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: for each of five fixed query
+    vectors, how many of the exact top-10 cosine neighbors at the full
+    64 dims survive when vectors are truncated to their first 16
+    components — the measurement behind the modern
+    store-short-rerank-long retrieval layout (truncate for the scan,
+    full-dim only for the survivors). Both rankings use the exact
+    left-associated dot fold (bit-identical doubles, q71 doctrine)
+    with a vec_id tiebreak; the overlap is an integer LEFT-JOIN count.
+
+    Scale: the query side (5 vectors) broadcasts; the corpus streams
+    through two map-stage scores per row (16-dim costs a quarter of
+    the full fold) and per-query top-10 selection is partial-top-k.
+    A low n_common_at_10 kills the truncation plan BEFORE a 100 TB
+    index is built at the short width."""
+    from ..operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id").isin(*_MRL_QUERIES))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    )
+    j = emb.join(F.broadcast(q), emb.vec_id != F.col("qid")).select(
+        "qid", "vec_id", "embedding", "qe"
+    )
+    wf = W.partitionBy("qid").orderBy(
+        F.desc(cosine(F.col("embedding"), F.col("qe"))), "vec_id"
+    )
+    wt = W.partitionBy("qid").orderBy(
+        F.desc(
+            cosine(
+                F.slice(F.col("embedding"), 1, _MRL_DIM),
+                F.slice(F.col("qe"), 1, _MRL_DIM),
+            )
+        ),
+        "vec_id",
+    )
+    f10 = (
+        j.select("qid", "vec_id", F.row_number().over(wf).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    t10 = (
+        j.select("qid", "vec_id", F.row_number().over(wt).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("qid", F.col("vec_id").alias("tvec"))
+    )
+    return (
+        f10.join(
+            t10,
+            (f10.qid == t10.qid) & (f10.vec_id == t10.tvec),
+            "left",
+        )
+        .groupBy(f10.qid.alias("query_id"))
+        .agg(F.count(t10.tvec).cast("bigint").alias("n_common_at_10"))
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250 — connected components by min-label propagation
+# ---------------------------------------------------------------------------
+
+
+def _sql_minlabel_iter(prev: str, out: str) -> str:
+    """One min-label iteration: every node takes the minimum of its own
+    label and its neighbors' labels — pure integer MIN/LEAST, so the
+    iteration is bit-exact under any partitioning (the q226 fixed-point
+    argument, with MIN instead of fixed-point sums)."""
+    return f"""
+    {out} AS (
+      SELECT l.node, LEAST(l.lbl, MIN(p.lbl)) AS lbl
+      FROM {prev} l
+      JOIN e ON e.d = l.node
+      JOIN {prev} p ON p.node = e.s
+      GROUP BY l.node, l.lbl
+    )"""
+
+
+@query(
+    "q250_connected_components_minlabel",
+    oracle=f"""
+    WITH {_sql_minhash_pairs(0.5)},
+    e AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS s, doc_id_a AS d FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e),
+    {_sql_minlabel_iter("l0", "l1")},
+    {_sql_minlabel_iter("l1", "l2")}
+    SELECT CAST(lbl AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM l2 GROUP BY lbl ORDER BY n_docs DESC, component LIMIT 20
+    """,
+    tags=("llm", "graph", "components", "dedup"),
+)
+def q250_connected_components_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-duplicate graph by
+    two unrolled min-label propagation rounds — the oracle-replayable
+    fixed-iteration core of q90's converge-to-fixpoint operator
+    (operators/cluster.py iterates with a driver-side convergence
+    scalar; this entry freezes the iteration count so DuckDB can
+    replay it value-for-value). Labels are doc_ids, propagation is
+    MIN over neighbors — integer, associative, bit-exact under any
+    shuffle. Two id-keyed joins per round; only (node, label) pairs
+    move. At 100 TB this is the large-star/small-star economics:
+    rounds are O(diameter), and dup-graph diameters are tiny because
+    near-dup clusters are cliques-ish."""
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    e = (
+        pairs.select(F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d"))
+        .unionAll(
+            pairs.select(F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("d"))
+        )
+        .persist()
+    )
+    lbl = e.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(2):
+        neigh = (
+            e.join(lbl.select(F.col("node").alias("s"), F.col("lbl").alias("nl")), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("nl").alias("minn"))
+        )
+        lbl = lbl.join(neigh, "node").select(
+            "node", F.least(F.col("lbl"), F.col("minn")).alias("lbl")
+        )
+    from ..functions.caching import tag_intermediates
+
+    out = (
+        lbl.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("lbl").cast("bigint").alias("component"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_docs"), "component")
+        .limit(20)
+    )
+    return tag_intermediates(out, e)
+
+
+# ---------------------------------------------------------------------------
+# q251 — session depth profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q251_session_depth_profile",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+               AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS depth
+      FROM sessions GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM per_session)
+    SELECT CAST(p.depth AS BIGINT) AS session_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS share
+    FROM per_session p CROSS JOIN tot t
+    GROUP BY p.depth, t.n ORDER BY session_depth
+    """,
+    tags=("streaming", "session", "bounce", "profile"),
+)
+def q251_session_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session depth histogram over the q82 sessionization (30-minute
+    gap): how many sessions contain 1, 2, ... events — depth 1 IS the
+    bounce rate, and the tail shape sizes per-session state for the
+    streaming form (streaming/events.py::session_counts). Same single
+    user-keyed shuffle as q82 (lag → gap flag → running-sum ids); the
+    histogram and its single share division collapse the result to
+    max-depth rows."""
+    e = load(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w_order).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_order))
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("depth")
+    )
+    tot = per_session.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_session.crossJoin(F.broadcast(tot))
+        .groupBy("depth", "n")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .select(
+            F.col("depth").cast("bigint").alias("session_depth"),
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("n").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("session_depth")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — shipping SLA percentiles (exact integer-rank selection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q252_shipping_sla_percentiles",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority AS priority,
+             DATE_DIFF('day', o.o_orderdate, l.l_shipdate) AS delay,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r AS (
+      SELECT priority, delay,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY delay, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM d
+    )
+    SELECT priority,
+           CAST(MIN(n) AS BIGINT) AS n_lineitems,
+           CAST(MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN delay END)
+                AS BIGINT) AS p50_days,
+           CAST(MIN(CASE WHEN rn = (n * 90 + 99) // 100 THEN delay END)
+                AS BIGINT) AS p90_days,
+           CAST(MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN delay END)
+                AS BIGINT) AS p99_days
+    FROM r GROUP BY priority ORDER BY priority
+    """,
+    tags=("relational", "percentile", "sla", "operations"),
+)
+def q252_shipping_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping SLA readout: p50/p90/p99 order-to-ship delay in days
+    per order priority, each percentile an EXACT data value selected
+    by nearest-rank (ceil(n*p/100), integer arithmetic, unique
+    line-key tiebreak) — no interpolation, no floating accumulation
+    (the q234 selection doctrine applied to the reference's order
+    domain). The percentile the ops dashboard quotes is therefore
+    reproducible to the day on any engine. One fact-fact join on the
+    order key (the l_orderkey bridge every TPC-H plan here shares) and
+    one priority-keyed window; five output rows."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("priority").orderBy("delay", "l_orderkey", "l_linenumber")
+    wn = W.partitionBy("priority")
+    r = d.select(
+        "priority",
+        "delay",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: int):
+        return F.min(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {p} + 99) div 100"), F.col("delay")
+            )
+        ).cast("bigint")
+
+    return (
+        r.groupBy("priority")
+        .agg(
+            F.min("n").cast("bigint").alias("n_lineitems"),
+            pick(50).alias("p50_days"),
+            pick(90).alias("p90_days"),
+            pick(99).alias("p99_days"),
+        )
+        .orderBy("priority")
+    )

@@ -26,6 +26,7 @@ STAGED_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops7",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops8",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops9",
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops10",
 )
 
 SF_DIR = "/root/testdata/sf0.001"

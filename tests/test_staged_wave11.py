@@ -1,0 +1,136 @@
+"""Staged wave-11 catalog entries (plans/llm_ops10.py): value-level
+oracle comparison at sf0.001 plus the wave's structural claims —
+candle ordering invariants, streak/user conservation, truncation-
+recall bounds, percentile monotonicity, and session-share closure."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from airflow_scraping_etl_tutorial_spark.plans import llm_ops10  # noqa: F401  (registers)
+from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES, load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+STAGED = [
+    "q247_ohlc_daily_candles",
+    "q248_activity_streaks",
+    "q249_matryoshka_truncation_audit",
+    "q250_connected_components_minlabel",
+    "q251_session_depth_profile",
+    "q252_shipping_sla_percentiles",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def nv(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else v
+        return str(v)
+
+    out = [tuple(nv(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_query_matches_oracle(spark, duck, name):
+    spec = _REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    srows = sdf.collect()
+    rel = duck.sql(spec.oracle)
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    orows = rel.fetchall()
+    assert len(srows) > 0, "staged queries must be non-empty at sf0.001"
+    assert not any("HUGEINT" in t for t in otypes), (
+        "oracle output contains HUGEINT — the round-6 lesson: "
+        f"cast to BIGINT ({dict(zip(ocols, otypes))})"
+    )
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert _norm(srows, sdf.columns) == _norm(orows, ocols)
+
+
+def test_staged_wave11_not_registered_in_driver_contract(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
+    from airflow_scraping_etl_tutorial_spark.plans.registry import (
+        _QUERY_MODULES,
+        all_queries,
+    )
+
+    assert "llm_ops10" not in ",".join(_QUERY_MODULES)
+    names = set(all_queries())
+    assert not names & set(STAGED)
+
+
+def test_ohlc_candle_invariants(spark):
+    rows = _REGISTRY["q247_ohlc_daily_candles"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.low_value <= r.open_value <= r.high_value
+        assert r.low_value <= r.close_value <= r.high_value
+        assert r.n_events >= 1
+    n_events = load(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+
+
+def test_streaks_conserve_users_and_bounds(spark):
+    rows = _REGISTRY["q248_activity_streaks"].fn(spark, SF_DIR).collect()
+    ev = load(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_days = ev.selectExpr("to_date(ts) AS d").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r.streak_days <= n_days
+
+
+def test_matryoshka_recall_bounds(spark):
+    rows = _REGISTRY["q249_matryoshka_truncation_audit"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_common_at_10 <= 10
+
+
+def test_components_sizes_and_labels(spark):
+    rows = _REGISTRY["q250_connected_components_minlabel"].fn(spark, SF_DIR).collect()
+    assert rows
+    sizes = [r.n_docs for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    for r in rows:
+        assert r.component >= 0
+        assert r.n_docs >= 1
+
+
+def test_session_depth_shares_close(spark):
+    rows = _REGISTRY["q251_session_depth_profile"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert rows[0].session_depth >= 1
+
+
+def test_sla_percentiles_monotone(spark):
+    rows = _REGISTRY["q252_shipping_sla_percentiles"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.p50_days <= r.p90_days <= r.p99_days
+        assert r.n_lineitems >= 1

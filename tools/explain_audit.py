@@ -101,6 +101,11 @@ AUDITED = (
     "q242_item_cooccurrence_affinity",
     "q244_bigram_entropy_rate",
     "q245_rrf_hybrid_retrieval",
+    # staged wave 11 (plans/llm_ops10.py; auto-loaded via EXTRA_MODULES)
+    "q247_ohlc_daily_candles",
+    "q249_matryoshka_truncation_audit",
+    "q250_connected_components_minlabel",
+    "q252_shipping_sla_percentiles",
 )
 
 
@@ -134,7 +139,8 @@ def main() -> None:
         "SPARK_GRAFT_EXTRA_MODULES",
         "airflow_scraping_etl_tutorial_spark.plans.llm_ops7,"
         "airflow_scraping_etl_tutorial_spark.plans.llm_ops8,"
-        "airflow_scraping_etl_tutorial_spark.plans.llm_ops9",
+        "airflow_scraping_etl_tutorial_spark.plans.llm_ops9,"
+        "airflow_scraping_etl_tutorial_spark.plans.llm_ops10",
     )
     specs = all_queries()
 
