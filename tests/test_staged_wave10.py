@@ -210,6 +210,34 @@ def test_srm_audit_conserves_users_and_deltas(spark):
         assert 256 * r.n_users - r.expected_x256 == r.delta_x256
 
 
+def _final_plan(spark, name):
+    df = _REGISTRY[name].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_plan_is_topk_with_broadcast_stats(spark):
+    plan = _final_plan(spark, "q235_bm25_retrieval")
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+    assert "BroadcastHashJoin" in plan  # df table broadcasts
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_audit_plan_is_single_aggregate(spark):
+    plan = _final_plan(spark, "q236_rag_chunk_audit")
+    # closed forms: no explode, no join — one scan, one agg shuffle
+    assert "Generate explode" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_affinity_plan_broadcasts_reach_tables(spark):
+    plan = _final_plan(spark, "q242_item_cooccurrence_affinity")
+    assert "BroadcastHashJoin" in plan  # sz reach sides broadcast
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_entropy_rate_nonnegative_and_bounded(spark, duck):
     rows = _REGISTRY["q244_bigram_entropy_rate"].fn(spark, SF_DIR).collect()
     assert rows

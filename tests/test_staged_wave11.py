@@ -128,6 +128,27 @@ def test_session_depth_shares_close(spark):
     assert rows[0].session_depth >= 1
 
 
+def _final_plan(spark, name):
+    df = _REGISTRY[name].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ohlc_plan_is_one_aggregate_no_join(spark):
+    plan = _final_plan(spark, "q247_ohlc_daily_candles")
+    assert "Join" not in plan
+    # one partial+final aggregate pair over (type, day); min_by/max_by
+    # combine map-side like MIN/MAX
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_components_plan_has_no_cartesian(spark):
+    plan = _final_plan(spark, "q250_connected_components_minlabel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_sla_percentiles_monotone(spark):
     rows = _REGISTRY["q252_shipping_sla_percentiles"].fn(spark, SF_DIR).collect()
     assert len(rows) == 5
