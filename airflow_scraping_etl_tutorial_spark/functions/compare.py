@@ -38,15 +38,28 @@ def money_sum(col: Column, scale: int = 2) -> Column:
 
 
 def money_mean(col: Column, scale: int = 6) -> Column:
-    """Order-independent mean: exact decimal sum / exact count."""
-    return F.round(
-        F.sum(col.cast(DEC)).cast("double") / F.count(col), scale
+    """Order-independent mean, rounded HALF-UP at `scale` via exact
+    integer micro-units: FLOOR(m/n + 0.5) on identical (m, n) integers
+    — pure IEEE ops, no engine ROUND involved. The previous
+    ROUND(sum/count, 6) form hit an exact .5 midpoint at sf0.1 where
+    Spark rounds half-up and DuckDB half-to-even (q138's
+    1545.7828125 → 813 vs 812). Nonnegative domains only
+    (floor(x+.5) is half-up for x >= 0)."""
+    pow10 = 10**scale
+    m = (F.sum(col.cast(DEC)) * pow10).cast("bigint").cast("double")
+    n = F.count(col).cast("double")
+    return F.floor(m / n + F.lit(0.5)).cast("bigint").cast("double") / F.lit(
+        float(pow10)
     )
 
 
 # DuckDB twins (format with the expression and scale).
 ORACLE_SUM = "CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
+# money_mean's twin: FLOOR(m/n + 0.5) on exact integer micros, divided
+# once by the scale power — identical IEEE association to the Spark
+# side, immune to engine ROUND-midpoint divergence.
 ORACLE_MEAN = (
-    "ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
-    " / COUNT({cnt}), {scale})"
+    "(CAST(FLOOR(CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) * {pow10}"
+    " AS BIGINT) AS DOUBLE) / CAST(COUNT({cnt}) AS DOUBLE) + 0.5) AS BIGINT)"
+    " / CAST({pow10} AS DOUBLE))"
 )

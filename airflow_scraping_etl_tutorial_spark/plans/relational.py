@@ -162,10 +162,14 @@ def q03_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax))
              AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(l_extendedprice), 6) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(l_discount), 6) AS avg_disc,
+           (CAST(FLOOR(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                 * 1000000 AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(l_extendedprice) AS DOUBLE) + 0.5) AS BIGINT)
+             / CAST(1000000 AS DOUBLE)) AS avg_price,
+           (CAST(FLOOR(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6)))
+                 * 1000000 AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(l_discount) AS DOUBLE) + 0.5) AS BIGINT)
+             / CAST(1000000 AS DOUBLE)) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2000-09-02'

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compare import money_mean, money_sum
+from ..functions.compare import money_sum
 from ..sources.tables import load
 from .registry import query
 
@@ -435,17 +435,21 @@ def q137_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH cost AS (
       SELECT l.l_partkey, l.l_suppkey,
-             ROUND(CAST(SUM(CAST((l.l_extendedprice / l.l_quantity)
-               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS unit_cost
+             CAST(FLOOR(
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                    * 1000000 AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(l.l_quantity) AS BIGINT) AS DOUBLE)
+               + 0.5) AS BIGINT) AS unit_micros
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
       JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
       GROUP BY 1, 2),
-    mn AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY 1)
-    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, c.unit_cost
+    mn AS (SELECT l_partkey, MIN(unit_micros) AS min_micros FROM cost GROUP BY 1)
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           (CAST(c.unit_micros AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS unit_cost
     FROM cost c
-    JOIN mn  ON c.l_partkey = mn.l_partkey AND c.unit_cost = mn.min_cost
+    JOIN mn  ON c.l_partkey = mn.l_partkey AND c.unit_micros = mn.min_micros
     JOIN part p ON c.l_partkey = p.p_partkey AND p.p_size = 17
     JOIN supplier s ON c.l_suppkey = s.s_suppkey
     ORDER BY p.p_partkey, s.s_suppkey
@@ -454,12 +458,19 @@ def q137_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q138_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier): for size-17 parts, the
-    European supplier(s) whose observed unit cost (mean extendedprice /
-    quantity over the lineitem bridge — the fixture's stand-in for
-    ps_supplycost) equals the per-part minimum, ALL ties kept — the
-    correlated-MIN subquery shape. The mean goes through the
-    decimal-exact pattern rounded to 6, so the equality join against
-    MIN compares bit-identical doubles in both engines.
+    European supplier(s) whose observed unit cost (total extendedprice
+    over total quantity on the lineitem bridge — the fixture's
+    stand-in for ps_supplycost) equals the per-part minimum, ALL ties
+    kept — the correlated-MIN subquery shape. The unit cost is
+    FLOOR(m/q + 0.5) on exact shared integers (micros of the decimal
+    price sum over the integral quantity sum) — pure IEEE ops, and
+    the MIN equality join compares the integer micros themselves. The
+    earlier mean-of-ratios form cast each l_extendedprice/l_quantity
+    DOUBLE to DECIMAL(18,6) per row, and at sf0.1 a power-of-two
+    quantity (49465.05/32 = 1545.7828125) landed that cast on an
+    exact scale-6 midpoint where Spark rounds half-up and DuckDB
+    half-to-even — the cast-a-dyadic-quotient trap; scale before
+    dividing, round once on shared integers.
 
     Scale: the region-pruned supplier set broadcasts into the lineitem
     scan, the (partkey, suppkey) agg is the one data shuffle, and the
@@ -476,18 +487,21 @@ def q138_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFram
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey")
     )
+    from ..functions.compare import DEC
+
+    m = (F.sum(F.col("l_extendedprice").cast(DEC)) * 1000000).cast("bigint")
+    q = F.sum("l_quantity").cast("bigint")
+    micros = F.floor(
+        m.cast("double") / q.cast("double") + F.lit(0.5)
+    ).cast("bigint")
     cost = (
         li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            money_mean(F.col("l_extendedprice") / F.col("l_quantity")).alias(
-                "unit_cost"
-            )
-        )
+        .agg(micros.alias("unit_micros"))
         .localCheckpoint(eager=True)
     )
     mn = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.min("unit_cost").alias("min_cost")
+        F.min("unit_micros").alias("min_micros")
     )
     p = load(spark, sf_dir, "part").filter(F.col("p_size") == 17)
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -495,13 +509,21 @@ def q138_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFram
         cost.join(
             F.broadcast(mn),
             (cost.l_partkey == F.col("_pk"))
-            & (cost.unit_cost == F.col("min_cost")),
+            & (cost.unit_micros == F.col("min_micros")),
         )
         .join(
             F.broadcast(p.select("p_partkey", "p_name")),
             cost.l_partkey == F.col("p_partkey"),
         )
         .join(F.broadcast(sup), cost.l_suppkey == F.col("s_suppkey"))
-        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_cost")
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            (F.col("unit_micros").cast("double") / F.lit(1000000.0)).alias(
+                "unit_cost"
+            ),
+        )
         .orderBy("p_partkey", "s_suppkey")
     )

@@ -106,15 +106,42 @@ def main() -> int:
     # with >100 GB free — every entry passes in isolation. A fresh
     # connection (with a bounded memory_limit so big oracles spill
     # instead of ballooning) drops that state.
+    # Tunable because sf0.1's LIST-heavy oracles want more headroom
+    # than the driver-equivalent sf0.01 sweeps.
+    oracle_mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "8GB")
+
     def fresh_con():
-        c = duckdb.connect()
-        c.execute("SET memory_limit='8GB'")
-        c.execute("SET temp_directory='/tmp/duckdb_spill'")
-        for t in TABLES:
-            c.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
-        return c
+        # Even a BRAND-NEW connection can hit the allocator pathology
+        # while the co-tenant JVM is holding map-count/commit spikes
+        # (observed at sf0.1: fresh_con itself failed on a 2 KB block
+        # with 124 GB free). Back off, poke both GCs, retry.
+        last = None
+        for delay in (0.0, 2.0, 10.0, 30.0):
+            if delay:
+                import gc
+
+                gc.collect()
+                try:
+                    spark._jvm.System.gc()
+                except Exception:  # noqa: BLE001
+                    pass
+                time.sleep(delay)
+            try:
+                c = duckdb.connect()
+                c.execute(f"SET memory_limit='{oracle_mem}'")
+                c.execute("SET temp_directory='/tmp/duckdb_spill'")
+                for t in TABLES:
+                    c.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')"
+                    )
+                return c
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).lower()
+                if "allocat" not in msg and "out of memory" not in msg:
+                    raise
+                last = e
+        raise last
 
     con = fresh_con()
     n_since_recycle = 0
