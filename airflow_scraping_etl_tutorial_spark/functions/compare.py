@@ -53,6 +53,28 @@ def money_mean(col: Column, scale: int = 6) -> Column:
     )
 
 
+def det_round(col: Column, scale: int) -> Column:
+    """Engine-independent HALF-UP rounding of a NONNEGATIVE double:
+    FLOOR(x*10^s + 0.5)/10^s in pure IEEE ops. Spark's ROUND rounds
+    the SHORTEST DECIMAL REPR half-up while DuckDB rounds numerically;
+    they disagree when the binary value and its repr straddle a tie
+    (q98 at sf0.1: rms_error 0.000712 vs 0.000711). For signed
+    domains use sign-aware: SIGN(x)*FLOOR(ABS(x)*10^s + 0.5)/10^s."""
+    p = float(10**scale)
+    return F.floor(col * F.lit(p) + F.lit(0.5)).cast("bigint").cast(
+        "double"
+    ) / F.lit(p)
+
+
+def oracle_det_round(expr: str, scale: int) -> str:
+    """DuckDB twin of det_round — identical IEEE association."""
+    p = 10**scale
+    return (
+        f"(CAST(FLOOR(({expr}) * CAST({p} AS DOUBLE) + 0.5) AS BIGINT)"
+        f" / CAST({p} AS DOUBLE))"
+    )
+
+
 # DuckDB twins (format with the expression and scale).
 ORACLE_SUM = "CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
 # money_mean's twin: FLOOR(m/n + 0.5) on exact integer micros, divided

@@ -1468,18 +1468,23 @@ def q97_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT e.vec_id, e.embedding, s.scale,
              LIST_TRANSFORM(e.embedding,
-               x -> CAST(GREATEST(LEAST(ROUND(CAST(x AS DOUBLE) / s.scale), 127),
-                                  -127) AS BIGINT)) AS qv
+               x -> CAST(GREATEST(LEAST(
+                      CASE WHEN CAST(x AS DOUBLE) / s.scale >= 0
+                           THEN FLOOR(CAST(x AS DOUBLE) / s.scale + 0.5)
+                           ELSE -FLOOR(-(CAST(x AS DOUBLE) / s.scale) + 0.5)
+                      END, 127), -127) AS BIGINT)) AS qv
       FROM embeddings e JOIN s USING (vec_id)
     )
     SELECT vec_id,
-           ROUND(scale, 9) AS scale,
+           (CAST(FLOOR(scale * CAST(1000000000 AS DOUBLE) + 0.5) AS BIGINT)
+             / CAST(1000000000 AS DOUBLE)) AS scale,
            CAST(LIST_SUM(qv) AS BIGINT) AS q_sum,
            CAST(LEN(LIST_FILTER(qv, v -> ABS(v) = 127)) AS INTEGER) AS n_saturated,
-           ROUND(SQRT({" + ".join(
+           (CAST(FLOOR((SQRT({" + ".join(
                f"(CAST(embedding[{i + 1}] AS DOUBLE) - qv[{i + 1}] * scale)"
                f" * (CAST(embedding[{i + 1}] AS DOUBLE) - qv[{i + 1}] * scale)"
-               for i in range(64))}) / 8.0, 6) AS rms_error
+               for i in range(64))}) / 8.0) * CAST(1000000 AS DOUBLE) + 0.5)
+             AS BIGINT) / CAST(1000000 AS DOUBLE)) AS rms_error
     FROM q ORDER BY vec_id
     """,
     tags=("llm", "embedding", "quantization"),
@@ -1500,10 +1505,19 @@ def q98_embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFra
         F.array_max(F.transform(F.col("_e"), lambda x: F.abs(x))) / F.lit(127.0)
     )
     pre2 = pre.select("vec_id", "embedding", "_e", scale.alias("scale"))
+    # Sign-aware deterministic half-up (FLOOR-based, identical IEEE ops
+    # on both engines): F.round's repr-based tie handling can split
+    # from DuckDB's numeric rounding (the q98 sf0.1 rms lesson).
+    def _det_half_up(v):
+        return F.when(v >= 0, F.floor(v + F.lit(0.5))).otherwise(
+            -F.floor(-v + F.lit(0.5))
+        )
+
     qv = F.transform(
         F.col("_e"),
         lambda x: F.greatest(
-            F.least(F.round(x / F.col("scale"), 0), F.lit(127.0)), F.lit(-127.0)
+            F.least(_det_half_up(x / F.col("scale")), F.lit(127.0)),
+            F.lit(-127.0),
         ).cast("long"),
     )
     pre3 = pre2.select("vec_id", "_e", "scale", qv.alias("_q"))
@@ -1516,14 +1530,30 @@ def q98_embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return pre3.select(
+    from ..functions.compare import det_round
+
+    # Two projections, deliberately: putting det_round(scale).alias(
+    # "scale") in the SAME select as the rms expression makes Spark 4's
+    # lateral column alias resolution bind the rms expression's
+    # F.col("scale") to the ROUNDED alias — silently diverging from the
+    # oracle, which uses the raw scale (caught at sf0.1: rms 712 vs
+    # 711). Later expressions must never share a select with an alias
+    # that shadows an input column they reference.
+    tmp = pre3.select(
         "vec_id",
-        F.round("scale", 9).alias("scale"),
+        F.col("scale").alias("_scale_raw"),
         F.aggregate(F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
             "q_sum"
         ),
         F.size(F.filter(F.col("_q"), lambda v: F.abs(v) == 127)).alias("n_saturated"),
-        F.round(F.sqrt(sq_err) / F.lit(8.0), 6).alias("rms_error"),
+        det_round(F.sqrt(sq_err) / F.lit(8.0), 6).alias("rms_error"),
+    )
+    return tmp.select(
+        "vec_id",
+        det_round(F.col("_scale_raw"), 9).alias("scale"),
+        "q_sum",
+        "n_saturated",
+        "rms_error",
     ).orderBy("vec_id")
 
 

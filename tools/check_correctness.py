@@ -91,11 +91,63 @@ def _type_kind_duck(dt: str) -> str:
     return dt
 
 
+_SUBPROCESS_RUNNER = r"""
+import base64, pickle, sys
+import duckdb
+
+sf_dir, mem, tables_csv = sys.argv[1], sys.argv[2], sys.argv[3]
+sql = sys.stdin.read()
+con = duckdb.connect()
+con.execute(f"SET memory_limit='{mem}'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+for t in tables_csv.split(","):
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+    )
+rel = con.sql(sql)
+out = (list(rel.columns), [str(t) for t in rel.types], rel.fetchall())
+sys.stdout.buffer.write(base64.b64encode(pickle.dumps(out)))
+"""
+
+
+def _oracle_subprocess(sql: str, sf_dir: str, mem: str):
+    """Run one oracle in a clean child process — the escape hatch when
+    the Spark-JVM-sharing parent's allocator is fragmented past the
+    point where even fresh in-process connections fail."""
+    import base64
+    import pickle
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _SUBPROCESS_RUNNER, sf_dir, mem, ",".join(TABLES)],
+        input=sql.encode(),
+        capture_output=True,
+        timeout=600,
+        check=False,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr.decode()[-400:])
+    return pickle.loads(base64.b64decode(proc.stdout))
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     specs = all_queries()
+    # SPARK_GRAFT_SHARD=k/n selects every n-th entry (sorted order,
+    # offset k-1) so large-SF sweeps can run as n SEPARATE processes:
+    # a single process hosting Spark's JVM plus 250 LIST-heavy DuckDB
+    # oracles at sf0.1 degrades its allocator past recovery (observed:
+    # fresh-connection OOM at entry ~120, segfault at ~128). The
+    # driver-equivalent sf0.01 sweep fits in one process.
+    shard = os.environ.get("SPARK_GRAFT_SHARD")
+    if shard:
+        k, n = (int(x) for x in shard.split("/"))
+        names = sorted(specs)
+        specs = {
+            nm: specs[nm] for i, nm in enumerate(names) if i % n == k - 1
+        }
     spark = get_spark("check_correctness")
 
     # The oracle connection is RECYCLED every few dozen queries: a full
@@ -193,6 +245,22 @@ def main() -> int:
                     con = fresh_con()
                     n_since_recycle = 0
                     continue
+                if transient:
+                    # In-process retries exhausted but the query passes
+                    # in a clean process (verified for q154 at sf0.1):
+                    # the co-tenant JVM can fragment this process's
+                    # allocator past recovery. Run the oracle in a
+                    # SUBPROCESS with its own pristine allocator.
+                    try:
+                        ocols, otypes, orows = _oracle_subprocess(
+                            spec.oracle, sf_dir, oracle_mem
+                        )
+                        retried = True
+                        break
+                    except Exception as e2:  # noqa: BLE001
+                        print(f"FAIL {name}: duckdb error (subprocess): {e2}")
+                        n_fail += 1
+                        break
                 print(f"FAIL {name}: duckdb error: {e}")
                 n_fail += 1
                 break
