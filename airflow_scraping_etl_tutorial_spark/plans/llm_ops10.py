@@ -493,3 +493,185 @@ def q252_shipping_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — per-feed volume trend (integer OLS slope)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q253_volume_trend_slope",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_days,
+           sy AS total_events,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                     WHEN n * sxy - sx * sy >= 0
+                     THEN (1000000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx)
+                     ELSE -((1000000 * (sx * sy - n * sxy))
+                            // (n * sxx - sx * sx))
+                END AS BIGINT) AS slope_ppm
+    FROM s ORDER BY event_type
+    """,
+    tags=("streaming", "events", "trend", "regression"),
+)
+def q253_volume_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed volume trend: the ordinary-least-squares slope of
+    daily event count against day index, in events-per-day
+    parts-per-million — the grow-or-decay number a capacity plan and
+    a crawl scheduler both key on (q240 finds single-day bursts; this
+    finds sustained drift). ENTIRELY integer arithmetic: the OLS
+    closed form (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) is a ratio of exact
+    BIGINTs, scaled to ppm by truncating division on made-nonnegative
+    operands (DuckDB `//` floors, Spark `div` truncates — identical
+    only for nonnegative operands, so the sign is factored out
+    first). Days pre-aggregate map-side; the regression is a
+    five-accumulator aggregate per feed."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.when(den == 0, F.lit(0))
+        .when(num >= 0, F.expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"))
+        .otherwise(
+            -F.expr("(1000000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx)")
+        )
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        slope.cast("bigint").alias("slope_ppm"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q254 — day-of-week seasonality strength (eta-squared)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q254_dow_seasonality_strength",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    dw AS (
+      SELECT event_type, y,
+             CAST((EXTRACT(ISODOW FROM day) % 7) + 1 AS INTEGER) AS dow
+      FROM d
+    ),
+    g AS (
+      SELECT event_type, dow,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(y) AS BIGINT) AS s_g
+      FROM dw GROUP BY event_type, dow
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM dw GROUP BY event_type
+    ),
+    b AS (
+      SELECT event_type,
+             SUM(CAST(CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                      AS DECIMAL(18,6))) AS sb
+      FROM g GROUP BY event_type
+    )
+    SELECT t.event_type,
+           t.n AS n_days,
+           (CAST(FLOOR(
+              ((CAST(b.sb AS DOUBLE)
+                - (CAST(t.sy * t.sy AS DOUBLE) / CAST(t.n AS DOUBLE)))
+               / (CAST(t.syy AS DOUBLE)
+                  - (CAST(t.sy * t.sy AS DOUBLE) / CAST(t.n AS DOUBLE))))
+              * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)
+             / CAST(1000000 AS DOUBLE)) AS eta_squared
+    FROM t JOIN b ON b.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+    tags=("streaming", "events", "seasonality", "anova"),
+)
+def q254_dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How weekly is each feed? Eta-squared (one-way ANOVA variance
+    explained) of daily volumes grouped by day-of-week: 1.0 = a
+    perfectly repeating weekly pattern, 0 = no weekday structure —
+    the decision input for whether capacity planning (q180) needs a
+    DOW dimension and whether q240's decay baseline should be
+    per-weekday. Numerics: within-group sums are exact BIGINTs; the
+    seven per-DOW S²/n terms take ONE double division each, are
+    quantized to DECIMAL(18,6) and summed exactly (q85 doctrine —
+    a bare 7-term double sum would be order-dependent); the final
+    eta² assembles with an identical IEEE association on both
+    engines and rounds via the floor-on-integers form (no engine
+    ROUND). DOW uses the proven ISODOW mapping (q58 family)."""
+    from ..functions.compare import det_round
+
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    dw = d.select("event_type", "y", F.dayofweek("day").alias("dow"))
+    g = dw.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("y").cast("bigint").alias("s_g"),
+    )
+    t = dw.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    term = (
+        (F.col("s_g") * F.col("s_g")).cast("double") / F.col("n_g").cast("double")
+    ).cast("decimal(18,6)")
+    b = g.select("event_type", term.alias("_t")).groupBy("event_type").agg(
+        F.sum("_t").alias("sb")
+    )
+    gm = (F.col("sy") * F.col("sy")).cast("double") / F.col("n").cast("double")
+    eta = (F.col("sb").cast("double") - gm) / (F.col("syy").cast("double") - gm)
+    return (
+        t.join(b, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            det_round(eta, 6).alias("eta_squared"),
+        )
+        .orderBy("event_type")
+    )

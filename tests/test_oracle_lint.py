@@ -135,6 +135,65 @@ def test_oracle_output_schemas_are_scalar_and_hugeint_free(specs, duck):
     )
 
 
+# Shadow sites where the alias is numerically identical to the input
+# column it shadows (a bigint/coalesce re-cast), so capture cannot
+# change values. Audited individually in round 6.
+_SHADOW_ALLOWED = {
+    ("operators/cluster.py", "u"),  # u/v swap — plain refs bind to input
+    ("plans/llm_ops10.py", "n_sessions"),
+    ("plans/llm_ops4.py", "n_docs"),
+    ("plans/llm_ops5.py", "n_wedges"),
+    ("plans/llm_ops6.py", "degree"),
+    ("plans/llm_ops7.py", "n_ab"),
+    ("plans/llm_ops9.py", "decay_num"),
+    ("plans/relational2.py", "cohort_size"),
+    ("plans/relational2.py", "n_active_users"),
+    ("plans/relational2.py", "n_days"),
+}
+
+
+def test_no_new_lateral_alias_shadows():
+    """The q98 sf0.1 lesson: an output alias that shadows an input
+    column referenced by a LATER expression in the same select can be
+    captured by Spark 4's lateral column alias resolution (observed
+    inside higher-order-function lambdas), silently diverging from the
+    oracle. Any new shadow site must be audited and added to the
+    allowlist — or better, split into two projections."""
+    import glob
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "airflow_scraping_etl_tutorial_spark"
+    )
+    found = set()
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        rel = os.path.relpath(path, pkg).replace(os.sep, "/")
+        for m in re.finditer(r"\.select\(", src):
+            chunk = src[m.end() : m.end() + 2500]
+            depth, end = 1, None
+            for i, ch in enumerate(chunk):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            if end is None:
+                continue
+            body = chunk[:end]
+            for mm in re.finditer(r"\.alias\(\"(\w+)\"\)", body):
+                name = mm.group(1)
+                if re.search(rf"F\.col\(\"{name}\"\)", body[mm.start() :]):
+                    found.add((rel, name))
+    new = found - _SHADOW_ALLOWED
+    assert not new, (
+        "new lateral-alias shadow site(s) — split the projection or "
+        f"audit + allowlist: {sorted(new)}"
+    )
+
+
 def test_spark_output_schemas_are_scalar(specs, spark):
     offenders: dict[str, list[tuple[str, str]]] = {}
     for name, spec in specs.items():

@@ -23,6 +23,8 @@ STAGED = [
     "q250_connected_components_minlabel",
     "q251_session_depth_profile",
     "q252_shipping_sla_percentiles",
+    "q253_volume_trend_slope",
+    "q254_dow_seasonality_strength",
 ]
 
 
@@ -155,3 +157,44 @@ def test_sla_percentiles_monotone(spark):
     for r in rows:
         assert 0 <= r.p50_days <= r.p90_days <= r.p99_days
         assert r.n_lineitems >= 1
+
+
+def test_trend_slope_matches_python_ols(spark):
+    rows = _REGISTRY["q253_volume_trend_slope"].fn(spark, SF_DIR).collect()
+    ev = load(spark, SF_DIR, "events")
+    assert sum(r.total_events for r in rows) == ev.count()
+    daily = (
+        ev.selectExpr(
+            "event_type", "datediff(to_date(ts), date'2024-01-01') AS x"
+        )
+        .groupBy("event_type", "x")
+        .count()
+        .collect()
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append((r.x, r["count"]))
+    for r in rows:
+        pts = by_type[r.event_type]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        want = (
+            0
+            if den == 0
+            else (1000000 * num) // den
+            if num >= 0
+            else -((1000000 * -num) // den)
+        )
+        assert r.slope_ppm == want, r.event_type
+
+
+def test_seasonality_eta_squared_bounds(spark):
+    rows = _REGISTRY["q254_dow_seasonality_strength"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.eta_squared <= 1.0 + 1e-9
+        assert r.n_days >= 7
