@@ -675,3 +675,52 @@ def q254_dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — top event paths (user-journey trigrams)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q255_top_event_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 2) OVER w AS t1,
+             LAG(event_type, 1) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT t1, t2, event_type AS t3,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM o WHERE t1 IS NOT NULL
+    GROUP BY t1, t2, event_type
+    ORDER BY n_occurrences DESC, t1, t2, t3 LIMIT 20
+    """,
+    tags=("streaming", "events", "paths", "journey"),
+)
+def q255_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: the most frequent three-step event
+    sequences across all users (consecutive by event_id within a
+    user) — the sequential generalization of q217's one-step Markov
+    matrix, and the raw material for funnel DISCOVERY (q108 measures
+    a funnel you already know; this surfaces the paths users actually
+    take). Two LAGs over the one user-keyed shuffle the session
+    family shares, an integer count, TakeOrderedAndProject top-20
+    with full lexicographic tiebreak. At 100 TB the trigram space is
+    |event_types|^3-bounded regardless of row count."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    o = ev.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    )
+    return (
+        o.filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "t1", "t2", "t3")
+        .limit(20)
+    )

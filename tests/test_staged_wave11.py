@@ -25,6 +25,7 @@ STAGED = [
     "q252_shipping_sla_percentiles",
     "q253_volume_trend_slope",
     "q254_dow_seasonality_strength",
+    "q255_top_event_paths",
 ]
 
 
@@ -190,6 +191,17 @@ def test_trend_slope_matches_python_ols(spark):
             else -((1000000 * -num) // den)
         )
         assert r.slope_ppm == want, r.event_type
+
+
+def test_event_paths_sorted_and_bounded(spark):
+    rows = _REGISTRY["q255_top_event_paths"].fn(spark, SF_DIR).collect()
+    assert rows
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    ev = load(spark, SF_DIR, "events")
+    types = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    for r in rows:
+        assert {r.t1, r.t2, r.t3} <= types
 
 
 def test_seasonality_eta_squared_bounds(spark):
