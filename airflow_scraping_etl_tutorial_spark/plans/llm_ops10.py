@@ -724,3 +724,72 @@ def q255_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "t1", "t2", "t3")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 — k-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q256_k_anonymity_audit",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    sens AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             COUNT(DISTINCT o.o_orderpriority) AS ldiv
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_mktsegment
+    )
+    SELECT CAST(cls.sz AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(cls.sz) AS BIGINT) AS n_customers,
+           CAST(MIN(s.ldiv) AS BIGINT) AS min_l_diversity
+    FROM cls
+    JOIN sens s ON s.c_nationkey = cls.c_nationkey
+               AND s.c_mktsegment = cls.c_mktsegment
+    GROUP BY cls.sz ORDER BY class_size
+    """,
+    tags=("relational", "privacy", "k-anonymity", "audit"),
+)
+def q256_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-risk audit before a data release: treat (nation,
+    market segment) as the quasi-identifier, histogram the
+    equivalence-class sizes (k-anonymity: a class of size 1 is a
+    re-identifiable individual), and report the minimum l-diversity
+    of a sensitive attribute (order priority) within classes of each
+    size — small-k AND low-l classes are the rows a release must
+    generalize or suppress. Complements q100 (PII redaction removes
+    direct identifiers; this measures the INDIRECT identification
+    risk redaction cannot touch). Two QI-keyed aggregates and one
+    integer histogram; at 100 TB the class table is |QI-combinations|-
+    sized and every output is an exact integer."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    sens = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count_distinct("o_orderpriority").alias("ldiv"))
+    )
+    return (
+        cls.join(sens, ["c_nationkey", "c_mktsegment"])
+        .groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("sz").cast("bigint").alias("n_customers"),
+            F.min("ldiv").cast("bigint").alias("min_l_diversity"),
+        )
+        .select(
+            F.col("sz").cast("bigint").alias("class_size"),
+            "n_classes",
+            "n_customers",
+            "min_l_diversity",
+        )
+        .orderBy("class_size")
+    )

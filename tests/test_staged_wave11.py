@@ -26,6 +26,7 @@ STAGED = [
     "q253_volume_trend_slope",
     "q254_dow_seasonality_strength",
     "q255_top_event_paths",
+    "q256_k_anonymity_audit",
 ]
 
 
@@ -202,6 +203,15 @@ def test_event_paths_sorted_and_bounded(spark):
     types = {r.event_type for r in ev.select("event_type").distinct().collect()}
     for r in rows:
         assert {r.t1, r.t2, r.t3} <= types
+
+
+def test_k_anonymity_conserves_customers(spark):
+    rows = _REGISTRY["q256_k_anonymity_audit"].fn(spark, SF_DIR).collect()
+    n_cust = load(spark, SF_DIR, "customer").count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert r.n_customers == r.class_size * r.n_classes
+        assert 0 <= r.min_l_diversity <= 5  # 5 order priorities
 
 
 def test_seasonality_eta_squared_bounds(spark):
