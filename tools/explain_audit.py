@@ -106,6 +106,9 @@ AUDITED = (
     "q249_matryoshka_truncation_audit",
     "q250_connected_components_minlabel",
     "q252_shipping_sla_percentiles",
+    "q253_volume_trend_slope",
+    "q255_top_event_paths",
+    "q256_k_anonymity_audit",
 )
 
 
