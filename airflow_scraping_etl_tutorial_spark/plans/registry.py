@@ -44,6 +44,19 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops6",
 )
 
+# Staged waves: implemented, pytest-covered, strict-oracle-green, but
+# deliberately NOT in the driver contract until their round's
+# attestation budget clears (see all_queries()). Tooling (explain
+# audit, catalog lint, staged sweeps) loads them from here so the
+# list cannot drift between consumers. Promotion = move the module
+# name into _QUERY_MODULES above.
+STAGED_MODULES = (
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops7",  # wave 8, round 7
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops8",  # wave 9, round 7
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops9",  # wave 10, round 7
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops10",  # wave 11, round 8
+)
+
 
 @dataclass(frozen=True)
 class QuerySpec:

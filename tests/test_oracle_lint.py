@@ -22,12 +22,7 @@ import re
 import duckdb
 import pytest
 
-STAGED_MODULES = (
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops7",
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops8",
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops9",
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops10",
-)
+from airflow_scraping_etl_tutorial_spark.plans.registry import STAGED_MODULES
 
 SF_DIR = "/root/testdata/sf0.001"
 

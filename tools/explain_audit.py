@@ -138,13 +138,9 @@ def main() -> None:
     # this tool only reads plans).
     import os
 
-    os.environ.setdefault(
-        "SPARK_GRAFT_EXTRA_MODULES",
-        "airflow_scraping_etl_tutorial_spark.plans.llm_ops7,"
-        "airflow_scraping_etl_tutorial_spark.plans.llm_ops8,"
-        "airflow_scraping_etl_tutorial_spark.plans.llm_ops9,"
-        "airflow_scraping_etl_tutorial_spark.plans.llm_ops10",
-    )
+    from airflow_scraping_etl_tutorial_spark.plans.registry import STAGED_MODULES
+
+    os.environ.setdefault("SPARK_GRAFT_EXTRA_MODULES", ",".join(STAGED_MODULES))
     specs = all_queries()
 
     lines = [
