@@ -75,6 +75,24 @@ def oracle_det_round(expr: str, scale: int) -> str:
     )
 
 
+def det_half_up(col: Column) -> Column:
+    """Sign-aware deterministic half-up to the nearest INTEGER:
+    FLOOR(x+0.5) for x >= 0, -FLOOR(-x+0.5) otherwise — pure IEEE
+    ops, identical on both engines (the signed companion of
+    det_round; q98's int8 quantizer is the canonical user)."""
+    return F.when(col >= 0, F.floor(col + F.lit(0.5))).otherwise(
+        -F.floor(-col + F.lit(0.5))
+    )
+
+
+def oracle_det_half_up(expr: str) -> str:
+    """DuckDB twin of det_half_up — identical CASE/FLOOR association."""
+    return (
+        f"CASE WHEN ({expr}) >= 0 THEN FLOOR(({expr}) + 0.5)"
+        f" ELSE -FLOOR(-({expr}) + 0.5) END"
+    )
+
+
 # DuckDB twins (format with the expression and scale).
 ORACLE_SUM = "CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
 # money_mean's twin: FLOOR(m/n + 0.5) on exact integer micros, divided

@@ -1508,15 +1508,12 @@ def q98_embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFra
     # Sign-aware deterministic half-up (FLOOR-based, identical IEEE ops
     # on both engines): F.round's repr-based tie handling can split
     # from DuckDB's numeric rounding (the q98 sf0.1 rms lesson).
-    def _det_half_up(v):
-        return F.when(v >= 0, F.floor(v + F.lit(0.5))).otherwise(
-            -F.floor(-v + F.lit(0.5))
-        )
+    from ..functions.compare import det_half_up
 
     qv = F.transform(
         F.col("_e"),
         lambda x: F.greatest(
-            F.least(_det_half_up(x / F.col("scale")), F.lit(127.0)),
+            F.least(det_half_up(x / F.col("scale")), F.lit(127.0)),
             F.lit(-127.0),
         ).cast("long"),
     )

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.compare import det_round
 from ..sources.tables import load
 from .llm_ops import _sql_cosine, _sql_minhash_pairs
 from .registry import query
@@ -360,7 +361,7 @@ def q250_connected_components_minlabel(spark: SparkSession, sf_dir: str) -> Data
     tot AS (SELECT COUNT(*) AS n FROM per_session)
     SELECT CAST(p.depth AS BIGINT) AS session_depth,
            CAST(COUNT(*) AS BIGINT) AS n_sessions,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS share
+           (CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) / CAST(t.n AS DOUBLE)) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS share
     FROM per_session p CROSS JOIN tot t
     GROUP BY p.depth, t.n ORDER BY session_depth
     """,
@@ -408,7 +409,7 @@ def q251_session_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("depth").cast("bigint").alias("session_depth"),
             F.col("n_sessions").cast("bigint").alias("n_sessions"),
-            F.round(
+            det_round(
                 F.col("n_sessions").cast("double") / F.col("n").cast("double"), 6
             ).alias("share"),
         )

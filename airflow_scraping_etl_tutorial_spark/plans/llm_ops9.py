@@ -41,6 +41,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.caching import tag_intermediates
+from ..functions.compare import det_round
 from ..operators.dedup import shingle_hashes
 from ..operators.text import tokens
 from ..sources.tables import load
@@ -212,8 +213,9 @@ def q235_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(nc) AS BIGINT) AS n_chunks,
            CAST(SUM(8 * (nc - 1)) AS BIGINT) AS overlap_tokens,
            CAST(SUM(24 * nc + 8 - n) AS BIGINT) AS pad_tokens,
-           ROUND(CAST(SUM(n) AS DOUBLE) / CAST(32 * SUM(nc) AS DOUBLE), 6)
-             AS utilization
+           (CAST(FLOOR((CAST(SUM(n) AS DOUBLE) / CAST(32 * SUM(nc) AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)
+             / CAST(1000000 AS DOUBLE)) AS utilization
     FROM ch GROUP BY source ORDER BY source
     """,
     tags=("llm", "rag", "chunking", "capacity"),
@@ -248,7 +250,7 @@ def q236_rag_chunk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nc").alias("n_chunks"),
             F.sum(F.lit(8) * (F.col("nc") - 1)).alias("overlap_tokens"),
             F.sum(F.lit(24) * F.col("nc") + 8 - F.col("n")).alias("pad_tokens"),
-            F.round(
+            det_round(
                 F.sum("n").cast("double")
                 / (F.lit(32) * F.sum("nc")).cast("double"),
                 6,
@@ -287,10 +289,10 @@ _CONT_MAX_DF = 100  # hot-shingle cap for the candidate index
     sets AS (SELECT doc_id, LIST(h) AS lst, COUNT(*) AS n FROM ex GROUP BY doc_id)
     SELECT c.doc_id_a, c.doc_id_b,
            CAST(LEN(LIST_INTERSECT(sa.lst, sb.lst)) AS BIGINT) AS n_common,
-           ROUND(CAST(LEN(LIST_INTERSECT(sa.lst, sb.lst)) AS DOUBLE)
-                 / LEAST(sa.n, sb.n), 6) AS containment,
-           ROUND(CAST(LEN(LIST_INTERSECT(sa.lst, sb.lst)) AS DOUBLE)
-                 / (sa.n + sb.n - LEN(LIST_INTERSECT(sa.lst, sb.lst))), 6)
+           (CAST(FLOOR((CAST(LEN(LIST_INTERSECT(sa.lst, sb.lst)) AS DOUBLE)
+                 / LEAST(sa.n, sb.n)) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS containment,
+           (CAST(FLOOR((CAST(LEN(LIST_INTERSECT(sa.lst, sb.lst)) AS DOUBLE)
+                 / (sa.n + sb.n - LEN(LIST_INTERSECT(sa.lst, sb.lst)))) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE))
              AS jaccard
     FROM cand c
     JOIN sets sa ON sa.doc_id = c.doc_id_a
@@ -349,8 +351,8 @@ def q237_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nb"),
     )
     inter = F.size(F.array_intersect("la", "lb"))
-    containment = F.round(inter.cast("double") / F.least("na", "nb"), 6)
-    jacc = F.round(inter.cast("double") / (F.col("na") + F.col("nb") - inter), 6)
+    containment = det_round(inter.cast("double") / F.least("na", "nb"), 6)
+    jacc = det_round(inter.cast("double") / (F.col("na") + F.col("nb") - inter), 6)
     out = (
         cand.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
@@ -387,8 +389,8 @@ def q237_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.source, b.source
     )
     SELECT d.source_a, d.source_b, d.dp AS dot_product,
-           ROUND(CAST(d.dp AS DOUBLE)
-                 / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+           (CAST(FLOOR((CAST(d.dp AS DOUBLE)
+                 / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE))
              AS cosine
     FROM dt d
     JOIN nrm na ON na.source = d.source_a
@@ -442,7 +444,7 @@ def q238_source_term_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             F.col("dp").alias("dot_product"),
-            F.round(
+            det_round(
                 F.col("dp").cast("double")
                 / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
                 6,
@@ -481,8 +483,10 @@ def q238_source_term_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_selected,
            CAST(SUM(CASE WHEN 2 * cum <= t.t THEN n ELSE 0 END) AS BIGINT)
              AS sel_tokens,
-           ROUND(CAST(SUM(CASE WHEN 2 * cum <= t.t THEN n ELSE 0 END) AS DOUBLE)
-                 / CAST(SUM(n) AS DOUBLE), 6) AS token_share
+           (CAST(FLOOR((CAST(SUM(CASE WHEN 2 * cum <= t.t THEN n ELSE 0 END)
+                       AS DOUBLE) / CAST(SUM(n) AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)
+             / CAST(1000000 AS DOUBLE)) AS token_share
     FROM c CROSS JOIN t
     GROUP BY source ORDER BY source
     """,
@@ -530,7 +534,7 @@ def q239_quality_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(sel).cast("bigint").alias("n_selected"),
             F.sum(sel * F.col("n")).cast("bigint").alias("sel_tokens"),
-            F.round(
+            det_round(
                 F.sum(sel * F.col("n")).cast("double") / F.sum("n").cast("double"),
                 6,
             ).alias("token_share"),
@@ -567,7 +571,7 @@ def dyadic_burst_frame(d: DataFrame) -> DataFrame:
         F.col("decay_num").cast("bigint").alias("decay_num"),
         F.when(
             F.col("decay_num") > 0,
-            F.round(
+            det_round(
                 (F.lit(127) * F.col("cnt")).cast("double")
                 / F.col("decay_num").cast("double"),
                 6,
@@ -603,8 +607,8 @@ def dyadic_burst_frame(d: DataFrame) -> DataFrame:
     SELECT event_type, day, CAST(cnt AS BIGINT) AS n_events,
            CAST(decay_num AS BIGINT) AS decay_num,
            CASE WHEN decay_num > 0
-                THEN ROUND(CAST(127 * cnt AS DOUBLE)
-                           / CAST(decay_num AS DOUBLE), 6)
+                THEN (CAST(FLOOR((CAST(127 * cnt AS DOUBLE)
+                           / CAST(decay_num AS DOUBLE)) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE))
                 END AS burst_ratio,
            CASE WHEN 127 * cnt > 2 * decay_num AND decay_num > 0
                 THEN 1 ELSE 0 END AS is_burst
@@ -655,8 +659,10 @@ def q240_ewma_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS live_rows,
            CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS superseded_rows,
-           ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS live_share
+           (CAST(FLOOR((CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)
+             / CAST(1000000 AS DOUBLE)) AS live_share
     FROM v GROUP BY event_type ORDER BY event_type
     """,
     tags=("streaming", "cdc", "compaction", "upsert"),
@@ -683,9 +689,9 @@ def q241_cdc_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("total_rows"),
             live.cast("bigint").alias("live_rows"),
             (F.count(F.lit(1)) - live).cast("bigint").alias("superseded_rows"),
-            F.round(live.cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
-                "live_share"
-            ),
+            det_round(
+                live.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("live_share"),
         )
         .orderBy("event_type")
     )
@@ -719,7 +725,7 @@ _AFF_MAX_ITEMS = 64  # hot-user cap for the pair join
       GROUP BY a.item, b.item
     )
     SELECT p.item_a, p.item_b, CAST(p.common AS BIGINT) AS n_common,
-           ROUND(CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common), 6)
+           (CAST(FLOOR((CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common)) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE))
              AS jaccard
     FROM pr p
     JOIN sz sa ON sa.item = p.item_a
@@ -776,7 +782,7 @@ def q242_item_cooccurrence_affinity(spark: SparkSession, sf_dir: str) -> DataFra
             "item_a",
             "item_b",
             F.col("common").cast("bigint").alias("n_common"),
-            F.round(
+            det_round(
                 F.col("common").cast("double")
                 / (F.col("na") + F.col("nb") - F.col("common")),
                 6,
@@ -818,9 +824,11 @@ def q242_item_cooccurrence_affinity(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_dup,
-           ROUND(CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                      AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+           (CAST(FLOOR((CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)
+             / CAST(1000000 AS DOUBLE)) AS dup_rate
     FROM q LEFT JOIN dup ON dup.doc_id = q.doc_id
     GROUP BY decile ORDER BY decile
     """,
@@ -867,9 +875,9 @@ def q243_quality_vs_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             flag.cast("bigint").alias("n_dup"),
-            F.round(flag.cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
-                "dup_rate"
-            ),
+            det_round(
+                flag.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_rate"),
         )
         .orderBy("decile")
     )
@@ -904,8 +912,9 @@ def q243_quality_vs_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tm.source,
            t.tt AS n_bigrams,
            CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
-           ROUND(-(CAST(SUM(tm.term) AS DOUBLE)) / CAST(t.tt AS DOUBLE), 6)
-             AS entropy_rate
+           (CAST(FLOOR((-(CAST(SUM(tm.term) AS DOUBLE)) / CAST(t.tt AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)
+             / CAST(1000000 AS DOUBLE)) AS entropy_rate
     FROM terms tm JOIN t ON t.source = tm.source
     GROUP BY tm.source, t.tt ORDER BY tm.source
     """,
@@ -957,7 +966,7 @@ def q244_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tt")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("distinct_bigrams"),
-            F.round(
+            det_round(
                 -(F.sum("term").cast("double")) / F.col("tt").cast("double"),
                 6,
             ).alias("entropy_rate"),
@@ -995,7 +1004,7 @@ _RRF_DEPTH = 100  # fuse the top-100 of each ranking
     qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
     cosd AS (
       SELECT e.vec_id AS doc_id,
-             ROUND({_sql_cosine('e.embedding', 'qv.embedding')}, 6) AS c
+             {_sql_cosine('e.embedding', 'qv.embedding')} AS c
       FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
     ),
     den AS (
@@ -1056,7 +1065,7 @@ def q245_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("c"),
+            cosine(F.col("embedding"), F.col("qe")).alias("c"),
         )
     )
     den = (
@@ -1118,7 +1127,9 @@ def q245_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(MIN(a.exp_x256) * t.n AS BIGINT) AS expected_x256,
            CAST(256 * COUNT(*) - MIN(a.exp_x256) * t.n AS BIGINT) AS delta_x256,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS obs_share
+           (CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)
+             / CAST(1000000 AS DOUBLE)) AS obs_share
     FROM assigned a CROSS JOIN tot t
     GROUP BY a.variant, t.n ORDER BY a.variant
     """,
@@ -1163,7 +1174,7 @@ def q246_ab_assignment_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(256) * F.count(F.lit(1)) - F.min("exp_x256") * F.col("n"))
             .cast("bigint")
             .alias("delta_x256"),
-            F.round(
+            det_round(
                 F.count(F.lit(1)).cast("double") / F.col("n").cast("double"), 6
             ).alias("obs_share"),
         )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.compare import money_mean, money_sum
+from ..functions.compare import ORACLE_MEAN, money_mean, money_sum
 from ..sources.tables import load
 from .registry import query
 
@@ -152,7 +152,7 @@ def q03_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q04_groupby_agg_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
@@ -162,14 +162,12 @@ def q03_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax))
              AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
-           (CAST(FLOOR(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
-                 * 1000000 AS BIGINT) AS DOUBLE)
-               / CAST(COUNT(l_extendedprice) AS DOUBLE) + 0.5) AS BIGINT)
-             / CAST(1000000 AS DOUBLE)) AS avg_price,
-           (CAST(FLOOR(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6)))
-                 * 1000000 AS BIGINT) AS DOUBLE)
-               / CAST(COUNT(l_discount) AS DOUBLE) + 0.5) AS BIGINT)
-             / CAST(1000000 AS DOUBLE)) AS avg_disc,
+           {ORACLE_MEAN.format(expr="l_extendedprice",
+                               cnt="l_extendedprice",
+                               pow10=1000000)} AS avg_price,
+           {ORACLE_MEAN.format(expr="l_discount",
+                               cnt="l_discount",
+                               pow10=1000000)} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2000-09-02'

@@ -70,7 +70,8 @@ def test_streaming_daily_counts_feed_burst_detector(spark, events_dir):
     streamed = [tuple(r) for r in dyadic_burst_frame(got).collect()]
     batch = [tuple(r) for r in q240_ewma_burst_detection(spark, SF_DIR).collect()]
     assert streamed == batch
-    assert any(r[5] == 1 for r in batch) or all(r[5] == 0 for r in batch)
+    # the detector actually evaluated: baselines warmed up past day 7
+    assert any(r[3] > 0 for r in batch), "no row with a warmed decay baseline"
 
 
 def test_session_counts_stream_runs(spark, events_dir):

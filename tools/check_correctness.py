@@ -144,6 +144,10 @@ def main() -> int:
     shard = os.environ.get("SPARK_GRAFT_SHARD")
     if shard:
         k, n = (int(x) for x in shard.split("/"))
+        if not (n >= 1 and 1 <= k <= n):
+            # An out-of-range shard would select ZERO queries and the
+            # sweep would exit green having checked nothing.
+            raise SystemExit(f"SPARK_GRAFT_SHARD={shard}: need 1 <= k <= n")
         names = sorted(specs)
         specs = {
             nm: specs[nm] for i, nm in enumerate(names) if i % n == k - 1

@@ -140,7 +140,17 @@ def main() -> None:
 
     from airflow_scraping_etl_tutorial_spark.plans.registry import STAGED_MODULES
 
-    os.environ.setdefault("SPARK_GRAFT_EXTRA_MODULES", ",".join(STAGED_MODULES))
+    # UNION the staged waves into whatever the caller exported — a
+    # plain setdefault would keep a caller's partial list and the
+    # audit would KeyError on the missing waves' entries.
+    preset = [
+        m
+        for m in os.environ.get("SPARK_GRAFT_EXTRA_MODULES", "").split(",")
+        if m
+    ]
+    os.environ["SPARK_GRAFT_EXTRA_MODULES"] = ",".join(
+        dict.fromkeys(preset + list(STAGED_MODULES))
+    )
     specs = all_queries()
 
     lines = [
