@@ -7,8 +7,6 @@ operator the wave introduces (operators/membership.py)."""
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -20,6 +18,8 @@ from airflow_scraping_etl_tutorial_spark.operators.membership import (
 from airflow_scraping_etl_tutorial_spark.plans import llm_ops6  # noqa: F401  (registers)
 from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
 from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES
+
+from staged_oracle import assert_matches_oracle, duck_views
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -40,47 +40,14 @@ STAGED = [
 
 @pytest.fixture(scope="module")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    return con
+    return duck_views(SF_DIR)
 
 
-def _norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def nv(v):
-        if v is None:
-            return None
-        if isinstance(v, bool):
-            return bool(v)
-        if isinstance(v, float):
-            return "NaN" if math.isnan(v) else v
-        return str(v)
-
-    out = [tuple(nv(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
 
 
 @pytest.mark.parametrize("name", STAGED)
 def test_staged_query_matches_oracle(spark, duck, name):
-    spec = _REGISTRY[name]
-    sdf = spec.fn(spark, SF_DIR)
-    srows = sdf.collect()
-    rel = duck.sql(spec.oracle)
-    ocols = list(rel.columns)
-    otypes = [str(t) for t in rel.types]
-    orows = rel.fetchall()
-    assert len(srows) > 0, "staged queries must be non-empty at sf0.001"
-    assert not any("HUGEINT" in t for t in otypes), (
-        "oracle output contains HUGEINT — the round-6 lesson: "
-        f"cast to BIGINT ({dict(zip(ocols, otypes))})"
-    )
-    assert sorted(sdf.columns) == sorted(ocols)
-    assert _norm(srows, sdf.columns) == _norm(orows, ocols)
+    assert_matches_oracle(spark, duck, _REGISTRY[name], SF_DIR)
 
 
 def test_wave7_registered_in_driver_contract(monkeypatch):
