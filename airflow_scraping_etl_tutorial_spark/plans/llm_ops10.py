@@ -794,3 +794,97 @@ def q256_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — Adamic-Adar link prediction over the order-brand bipartite graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q257_adamic_adar_brand_links",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    deg AS (SELECT okey, COUNT(*) AS d FROM ob GROUP BY okey),
+    w AS (
+      SELECT okey,
+             CAST(1.0 / LN(CAST(d AS DOUBLE)) AS DECIMAL(18,6)) AS wt
+      FROM deg WHERE d >= 2
+    ),
+    pr AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             CAST(SUM(w.wt) AS DECIMAL(28,6)) AS aa_dec
+      FROM ob a
+      JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+      JOIN w ON w.okey = a.okey
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, n_shared,
+           CAST(aa_dec AS DOUBLE) AS adamic_adar
+    FROM pr
+    ORDER BY adamic_adar DESC, brand_a, brand_b LIMIT 20
+    """,
+    tags=("relational", "graph", "link-prediction", "affinity"),
+)
+def q257_adamic_adar_brand_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the order-brand bipartite graph:
+    brand pairs scored by Σ 1/ln(deg(order)) over their shared
+    orders — shared SMALL baskets are strong evidence of affinity,
+    shared mega-baskets are weak (the inverse-log damping q164's raw
+    co-count lacks), which is the standard link-prediction upgrade
+    for a co-occurrence recommender. Completes the graph-analytics
+    family: degree (q160), PageRank (q226), triangles (q201),
+    components (q250), link prediction (here).
+
+    Numerics: each order's weight takes ONE libm call (LN of an
+    integer-valued double) quantized to DECIMAL(18,6) (q128
+    doctrine); per-pair scores are exact decimal sums, so the output
+    double is tie-free at scale 6 and ordering cannot diverge.
+    Scale: pairs come from the per-order self-join whose quadratic
+    term is bounded by brands-per-order (≤ |brands|), the same
+    economics as q164; weights ride a broadcast-sized (order, wt)
+    table only for orders with ≥ 2 brands."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    deg = ob.groupBy("okey").agg(F.count(F.lit(1)).alias("d"))
+    w = deg.filter(F.col("d") >= 2).select(
+        "okey",
+        (F.lit(1.0) / F.log(F.col("d").cast("double")))
+        .cast("decimal(18,6)")
+        .alias("wt"),
+    )
+    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    pr = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .join(w, "okey")
+        .groupBy("brand_a", "brand_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum("wt").cast("decimal(28,6)").alias("aa_dec"),
+        )
+    )
+    from ..functions.caching import tag_intermediates
+
+    out = (
+        pr.select(
+            "brand_a",
+            "brand_b",
+            "n_shared",
+            F.col("aa_dec").cast("double").alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "brand_a", "brand_b")
+        .limit(20)
+    )
+    return tag_intermediates(out, ob)

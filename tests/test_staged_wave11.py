@@ -5,6 +5,8 @@ recall bounds, percentile monotonicity, and session-share closure."""
 
 from __future__ import annotations
 
+import math
+
 import duckdb
 import pytest
 
@@ -27,6 +29,7 @@ STAGED = [
     "q254_dow_seasonality_strength",
     "q255_top_event_paths",
     "q256_k_anonymity_audit",
+    "q257_adamic_adar_brand_links",
 ]
 
 
@@ -179,6 +182,18 @@ def test_k_anonymity_conserves_customers(spark):
     for r in rows:
         assert r.n_customers == r.class_size * r.n_classes
         assert 0 <= r.min_l_diversity <= 5  # 5 order priorities
+
+
+def test_adamic_adar_ordering_and_positivity(spark):
+    rows = _REGISTRY["q257_adamic_adar_brand_links"].fn(spark, SF_DIR).collect()
+    assert rows
+    scores = [r.adamic_adar for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.adamic_adar > 0
+        assert r.n_shared >= 1
+        # each shared >=2-brand order contributes at most 1/ln(2)
+        assert r.adamic_adar <= r.n_shared / math.log(2) + 1e-6
 
 
 def test_seasonality_eta_squared_bounds(spark):
