@@ -38,19 +38,30 @@ def money_sum(col: Column, scale: int = 2) -> Column:
 
 
 def money_mean(col: Column, scale: int = 6) -> Column:
-    """Order-independent mean, rounded HALF-UP at `scale` via exact
-    integer micro-units: FLOOR(m/n + 0.5) on identical (m, n) integers
-    — pure IEEE ops, no engine ROUND involved. The previous
-    ROUND(sum/count, 6) form hit an exact .5 midpoint at sf0.1 where
-    Spark rounds half-up and DuckDB half-to-even (q138's
-    1545.7828125 → 813 vs 812). Nonnegative domains only
-    (floor(x+.5) is half-up for x >= 0)."""
+    """Order-independent mean, rounded HALF-UP at `scale` via EXACT
+    decimal arithmetic end to end: with m = SUM(dec)·10^scale (an
+    exact integral decimal) and n = COUNT, the half-up quotient is
+        q = (m - m%n)/n  +  (1 if 2·(m%n) >= n else 0)
+    — modulo, subtraction, and the exact-multiple division are all
+    exact in DECIMAL(38,_) in both engines, so no doubles exist before
+    the final q/10^scale. This replaces the earlier
+    FLOOR(double(m)/double(n) + 0.5) form whose CAST(m AS BIGINT)
+    silently wrapped once a group's decimal sum exceeded ~9.2e12 at
+    scale 6 (int64 ceiling / 10^6) — Spark's non-ANSI cast nulls/wraps
+    where DuckDB's errors, so the engines failed DIFFERENTLY beyond
+    the tested fixtures (round-6 ADVICE). The exact form's only bound
+    is DECIMAL(38) itself (~3.2e25 at scale 6 after the 10^scale
+    shift). Nonnegative domains only (the previous ROUND(sum/count)
+    form hit a .5 midpoint at sf0.1 where Spark rounds half-up and
+    DuckDB half-to-even: q138's 1545.7828125 → 813 vs 812)."""
     pow10 = 10**scale
-    m = (F.sum(col.cast(DEC)) * pow10).cast("bigint").cast("double")
-    n = F.count(col).cast("double")
-    return F.floor(m / n + F.lit(0.5)).cast("bigint").cast("double") / F.lit(
-        float(pow10)
-    )
+    m = F.sum(col.cast(DEC)) * pow10  # integral value, decimal(38,6)
+    n = F.count(col).cast("decimal(38,0)")
+    r = m % n
+    q = ((m - r) / n).cast("bigint") + F.when(
+        r + r >= n, F.lit(1)
+    ).otherwise(F.lit(0))
+    return q.cast("double") / F.lit(float(pow10))
 
 
 def det_round(col: Column, scale: int) -> Column:
@@ -95,11 +106,16 @@ def oracle_det_half_up(expr: str) -> str:
 
 # DuckDB twins (format with the expression and scale).
 ORACLE_SUM = "CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
-# money_mean's twin: FLOOR(m/n + 0.5) on exact integer micros, divided
-# once by the scale power — identical IEEE association to the Spark
-# side, immune to engine ROUND-midpoint divergence.
+# money_mean's twin: the same exact half-up integer quotient, in
+# DuckDB's exact int128 (HUGEINT) arithmetic — m//n is truncation,
+# equal to floor on the nonnegative domain, +1 when 2·(m%n) >= n.
+# No doubles before the final division, no int64 ceiling (the earlier
+# CAST(... AS BIGINT) micros form overflowed past ~9.2e12 sums).
 ORACLE_MEAN = (
-    "(CAST(FLOOR(CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) * {pow10}"
-    " AS BIGINT) AS DOUBLE) / CAST(COUNT({cnt}) AS DOUBLE) + 0.5) AS BIGINT)"
+    "(CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) * {pow10} AS HUGEINT)"
+    " // CAST(COUNT({cnt}) AS HUGEINT)"
+    " + CASE WHEN 2 * (CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) * {pow10}"
+    " AS HUGEINT) % CAST(COUNT({cnt}) AS HUGEINT))"
+    " >= CAST(COUNT({cnt}) AS HUGEINT) THEN 1 ELSE 0 END AS BIGINT)"
     " / CAST({pow10} AS DOUBLE))"
 )

@@ -14,12 +14,22 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition IF the input has fewer partitions than the
-    session's default parallelism (i.e. cores would sit idle). The extra
-    shuffle moves each row once — worth it exactly when downstream
-    per-row compute exceeds row transfer cost; callers are the heavy
-    operators (minhash, simhash, vector scoring)."""
+    """Round-robin repartition IF the input's file-scan split count is
+    below the session's default parallelism (i.e. cores would sit
+    idle). The extra shuffle moves each row once — worth it exactly
+    when downstream per-row compute exceeds row transfer cost; callers
+    are the heavy operators (minhash, simhash, vector scoring).
+
+    The split estimate is `df.inputFiles()` — a pure plan inspection
+    (no RDD-plan conversion, no job; `df.rdd.getNumPartitions()` would
+    force a Python-RDD conversion of the whole query). Files larger
+    than `spark.sql.files.maxPartitionBytes` arrive as MORE splits
+    than files, so the estimate only under-counts — the failure mode
+    is a redundant repartition of an already-parallel input, never a
+    starved one. Non-file inputs (memory relations in tests) report
+    zero files and always fan out, which is the safe direction for a
+    compute-heavy consumer."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df

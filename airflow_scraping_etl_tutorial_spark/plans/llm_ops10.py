@@ -1,16 +1,13 @@
-"""LLM-ops wave 11 (STAGED for round-8 registration): market-data
+"""LLM-ops wave 11 (promoted into the driver contract in round 7): market-data
 candles, behavioral streaks, embedding-truncation audits, graph
 components, session depth, and operational SLA percentiles — the
 seventh ring of curation/analytics machinery around waves 1-10.
 
-This module is NOT in registry._QUERY_MODULES (same staging protocol
-as waves 8-10 — see plans/llm_ops7.py's docstring): value-checked via
-
-    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops10 \\
-        python tools/check_correctness.py /root/testdata/sf0.01
-
-and by tests/test_staged_wave11.py; round 8 promotes it with one line
-(round 7's driver budget is already full with waves 8-10).
+Staged during round 6 (driver-budget protocol — see
+plans/llm_ops7.py's docstring); promoted into registry._QUERY_MODULES
+in round 7 alongside waves 8-10 (43 tier-1 entries fit the ~50-entry
+attestation budget). Value-checked by tools/check_correctness.py and
+tests/test_staged_wave11.py.
 
 Output-hardening doctrine (as waves 6-10): BIGINT-cast integer
 aggregates, exact integer-rank selection instead of interpolated
@@ -48,7 +45,8 @@ from .registry import query
     "q247_ohlc_daily_candles",
     oracle="""
     WITH d AS (
-      SELECT event_type, CAST(ts AS DATE) AS day, value, event_id FROM events
+      SELECT event_type, CAST(ts AS DATE) AS day, value, event_id
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type, day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -70,9 +68,15 @@ def q247_ohlc_daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     to diverge. One map-side-combined aggregate over (type × day);
     at 100 TB this is the canonical pre-aggregation that makes every
     downstream chart O(days), and min_by/max_by combine per-partition
-    partials exactly like MIN/MAX."""
+    partials exactly like MIN/MAX. Both sides filter value IS NOT NULL
+    first: when value is NULL at the extremal event_id, DuckDB's
+    MIN_BY/MAX_BY skip the NULL-arg row while Spark's return the NULL
+    — the filter removes the divergence class entirely (round-6
+    ADVICE; fixtures are null-free, so results are unchanged)."""
     ev = load(spark, sf_dir, "events")
-    d = ev.select("event_type", F.to_date("ts").alias("day"), "value", "event_id")
+    d = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.to_date("ts").alias("day"), "value", "event_id"
+    )
     return (
         d.groupBy("event_type", "day")
         .agg(

@@ -1,19 +1,12 @@
-"""LLM-ops wave 8 (STAGED for round-7 registration): mergeable
+"""LLM-ops wave 8 (promoted into the driver contract in round 7): mergeable
 cardinality/frequency sketches, behavioral-sequence analytics, skew
 and drift audits, and incremental-maintenance patterns — the fourth
 ring of curation machinery around waves 1-7.
 
-This module is NOT in registry._QUERY_MODULES: the round-6 driver
-budget is already carrying 39 tier-1 entries (8 re-attesting wave-5 +
-20 wave-6 + 11 wave-7). It is value-checked exactly like the live
-catalog via
-
-    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops7 \\
-        python tools/check_correctness.py /root/testdata/sf0.01
-
-and by tests/test_staged_wave8.py; round 7 promotes it by adding the
-module name to _QUERY_MODULES (one line) — registry tiering adapts
-automatically from the CORRECTNESS_r*.json files.
+Staged behind SPARK_GRAFT_EXTRA_MODULES during round 6 while the
+driver's ~50-entry attestation budget drained waves 5-7; promoted into
+registry._QUERY_MODULES in round 7. Value-checked like the rest of the
+live catalog by tools/check_correctness.py and tests/test_staged_wave8.py.
 
 Output-hardening doctrine (applied from birth): integer aggregates
 CAST to BIGINT in the oracle (never HUGEINT output); ratios are single

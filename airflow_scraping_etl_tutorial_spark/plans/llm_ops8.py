@@ -1,15 +1,12 @@
-"""LLM-ops wave 9 (STAGED for round-7 registration): exact-recall
+"""LLM-ops wave 9 (promoted into the driver contract in round 7): exact-recall
 set-similarity joins, integer-arithmetic graph centrality, optimizer
 planning audits, physical-layout planning, and forensic value
 distributions — the fifth ring of curation machinery around waves 1-8.
 
-This module is NOT in registry._QUERY_MODULES (same staging protocol as
-wave 8 — see plans/llm_ops7.py's docstring): value-checked via
-
-    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops8 \\
-        python tools/check_correctness.py /root/testdata/sf0.01
-
-and by tests/test_staged_wave9.py; round 7 promotes it with one line.
+Staged during round 6 (driver-budget protocol — see
+plans/llm_ops7.py's docstring); promoted into registry._QUERY_MODULES
+in round 7. Value-checked by tools/check_correctness.py and
+tests/test_staged_wave9.py.
 
 Output-hardening doctrine (as waves 6-8): BIGINT-cast integer
 aggregates, single-division rounded ratios, truncating integer

@@ -1,16 +1,13 @@
-"""LLM-ops wave 10 (STAGED for round-7 registration): lexical
+"""LLM-ops wave 10 (promoted into the driver contract in round 7): lexical
 retrieval scoring, RAG chunk economics, asymmetric containment dedup,
 corpus-level similarity and selection, change-data compaction, and
 behavioral affinity — the sixth ring of curation machinery around
 waves 1-9.
 
-This module is NOT in registry._QUERY_MODULES (same staging protocol
-as waves 8-9 — see plans/llm_ops7.py's docstring): value-checked via
-
-    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops9 \\
-        python tools/check_correctness.py /root/testdata/sf0.01
-
-and by tests/test_staged_wave10.py; round 7 promotes it with one line.
+Staged during round 6 (driver-budget protocol — see
+plans/llm_ops7.py's docstring); promoted into registry._QUERY_MODULES
+in round 7. Value-checked by tools/check_correctness.py and
+tests/test_staged_wave10.py.
 
 Output-hardening doctrine (as waves 6-9): BIGINT-cast integer
 aggregates, single-division rounded ratios, truncating integer

@@ -42,6 +42,10 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops4",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops5",
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops6",
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops7",  # wave 8, promoted r7
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops8",  # wave 9, promoted r7
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops9",  # wave 10, promoted r7
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops10",  # wave 11, promoted r7
 )
 
 # Staged waves: implemented, pytest-covered, strict-oracle-green, but
@@ -49,13 +53,9 @@ _QUERY_MODULES = (
 # attestation budget clears (see all_queries()). Tooling (explain
 # audit, catalog lint, staged sweeps) loads them from here so the
 # list cannot drift between consumers. Promotion = move the module
-# name into _QUERY_MODULES above.
-STAGED_MODULES = (
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops7",  # wave 8, round 7
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops8",  # wave 9, round 7
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops9",  # wave 10, round 7
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops10",  # wave 11, round 8
-)
+# name into _QUERY_MODULES above. Empty since round 7 promoted
+# waves 8-11: the full 257-entry catalog is live.
+STAGED_MODULES = ()
 
 
 @dataclass(frozen=True)
@@ -89,13 +89,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   tier 2 — attested green, oldest attestation first (the union rots
 #            as shared helpers change, so stale greens recycle through
 #            the driver budget before fresh ones).
-def _attestation_state() -> dict[str, tuple[int, bool]]:
-    """name -> (last attested round, was green) from CORRECTNESS_r*.json."""
+def _attestation_state(root: str | None = None) -> dict[str, tuple[int, bool]]:
+    """name -> (last attested round, was green) from CORRECTNESS_r*.json.
+
+    `root` defaults to the repo root; tests pass a temp directory to
+    prove the tiering is invariant to a fresh driver artifact landing
+    (the round-6 lesson: hard-coded "first 50" assertions broke the
+    moment CORRECTNESS_r06.json attested the staged waves green).
+    """
     import glob
     import json
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     state: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))

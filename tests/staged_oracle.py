@@ -42,6 +42,32 @@ def norm(rows, cols):
     return out
 
 
+def assert_live_and_tiered(staged_names, module_token):
+    """Attestation-INVARIANT registration check (the round-6 lesson:
+    hard-coded `names[:50]` membership broke the moment the driver's
+    CORRECTNESS_r06.json landed and correctly demoted the now-green
+    entries). Asserts only properties that survive any driver artifact
+    landing: the wave's module is in the driver contract, every entry
+    is visible in all_queries(), and the catalog order is exactly
+    "tier-1 (never-attested-or-red) before tier-2 (green, stalest
+    first)" — with the expected tiers derived from the SAME
+    CORRECTNESS_r*.json state the registry itself reads."""
+    from airflow_scraping_etl_tutorial_spark.plans.registry import (
+        _QUERY_MODULES,
+        _priority,
+        all_queries,
+    )
+
+    assert module_token in ",".join(_QUERY_MODULES)
+    names = list(all_queries())
+    missing = set(staged_names) - set(names)
+    assert not missing, f"wave entries missing from driver contract: {missing}"
+    prios = [_priority(n) for n in names]
+    assert prios == sorted(prios), (
+        "catalog order must be non-decreasing in (tier, attested-round)"
+    )
+
+
 def assert_matches_oracle(spark, duck, spec, sf_dir):
     """The per-entry staged gate: non-empty, HUGEINT-free oracle
     schema (the round-6 driver-comparator lesson), same columns,

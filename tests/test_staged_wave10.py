@@ -48,16 +48,12 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, _REGISTRY[name], SF_DIR)
 
 
-def test_staged_wave10_not_registered_in_driver_contract(monkeypatch):
+def test_wave10_registered_in_driver_contract(monkeypatch):
+    """Round 7 promoted wave 10. Membership + tiering only."""
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
-    from airflow_scraping_etl_tutorial_spark.plans.registry import (
-        _QUERY_MODULES,
-        all_queries,
-    )
+    from staged_oracle import assert_live_and_tiered
 
-    assert "llm_ops9" not in ",".join(_QUERY_MODULES)
-    names = set(all_queries())
-    assert not names & set(STAGED)
+    assert_live_and_tiered(STAGED, "llm_ops9")
 
 
 def _chunk_sim(n: int, size: int = 32, stride: int = 24):

@@ -45,16 +45,12 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, _REGISTRY[name], SF_DIR)
 
 
-def test_staged_wave11_not_registered_in_driver_contract(monkeypatch):
+def test_wave11_registered_in_driver_contract(monkeypatch):
+    """Round 7 promoted wave 11. Membership + tiering only."""
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
-    from airflow_scraping_etl_tutorial_spark.plans.registry import (
-        _QUERY_MODULES,
-        all_queries,
-    )
+    from staged_oracle import assert_live_and_tiered
 
-    assert "llm_ops10" not in ",".join(_QUERY_MODULES)
-    names = set(all_queries())
-    assert not names & set(STAGED)
+    assert_live_and_tiered(STAGED, "llm_ops10")
 
 
 def test_ohlc_candle_invariants(spark):
@@ -64,7 +60,7 @@ def test_ohlc_candle_invariants(spark):
         assert r.low_value <= r.open_value <= r.high_value
         assert r.low_value <= r.close_value <= r.high_value
         assert r.n_events >= 1
-    n_events = load(spark, SF_DIR, "events").count()
+    n_events = load(spark, SF_DIR, "events").filter("value IS NOT NULL").count()
     assert sum(r.n_events for r in rows) == n_events
 
 

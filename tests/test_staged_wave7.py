@@ -51,19 +51,12 @@ def test_staged_query_matches_oracle(spark, duck, name):
 
 
 def test_wave7_registered_in_driver_contract(monkeypatch):
-    """Round 6 promoted wave 7 mid-round (all 11 entries strict-local
-    green at sf0.01): the driver sees the 214-entry catalog with the
-    never-attested wave-6/7 entries tiered inside the ~50-entry budget."""
+    """Round 6 promoted wave 7 mid-round. Membership + tiering only —
+    position assertions broke when CORRECTNESS_r06 landed."""
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
-    from airflow_scraping_etl_tutorial_spark.plans.registry import (
-        _QUERY_MODULES,
-        all_queries,
-    )
+    from staged_oracle import assert_live_and_tiered
 
-    assert "llm_ops6" in ",".join(_QUERY_MODULES)
-    names = list(all_queries())
-    assert len(names) == 214
-    assert all(n in names[:50] for n in STAGED)
+    assert_live_and_tiered(STAGED, "llm_ops6")
 
 
 # ---------------------------------------------------------------------------

@@ -47,19 +47,13 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, _REGISTRY[name], SF_DIR)
 
 
-def test_staged_wave8_not_registered_in_driver_contract(monkeypatch):
-    """The round-6 driver must see exactly the 214-entry live catalog:
-    llm_ops7 only joins via SPARK_GRAFT_EXTRA_MODULES until round 7."""
+def test_wave8_registered_in_driver_contract(monkeypatch):
+    """Round 7 promoted wave 8 into the driver contract. Membership +
+    tiering only (attestation-invariant — the round-6 lesson)."""
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
-    from airflow_scraping_etl_tutorial_spark.plans.registry import (
-        _QUERY_MODULES,
-        all_queries,
-    )
+    from staged_oracle import assert_live_and_tiered
 
-    assert "llm_ops7" not in ",".join(_QUERY_MODULES)
-    names = list(all_queries())
-    assert len(names) == 214
-    assert not any(n.startswith("q21{}_".format(d)) for n in names for d in (5, 6))
+    assert_live_and_tiered(STAGED, "llm_ops7")
 
 
 # ---------------------------------------------------------------------------

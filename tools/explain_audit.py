@@ -75,7 +75,7 @@ AUDITED = (
     "q211_cluster_source_purity",
     "q213_dedup_priority",
     "q214_token_budget_cut",
-    # staged wave 8 (plans/llm_ops7.py; auto-loaded via EXTRA_MODULES)
+    # wave 8 (plans/llm_ops7.py; promoted round 7)
     "q215_hll_distinct_audit",
     "q216_countmin_heavy_hitters",
     "q217_event_markov_transitions",
@@ -83,7 +83,7 @@ AUDITED = (
     "q219_join_key_skew_audit",
     "q221_incremental_snapshot_delta",
     "q223_assoc_rule_lift",
-    # staged wave 9 (plans/llm_ops8.py; auto-loaded via EXTRA_MODULES)
+    # wave 9 (plans/llm_ops8.py; promoted round 7)
     "q225_prefix_filter_setjoin",
     "q226_dup_graph_pagerank",
     "q227_join_cardinality_audit",
@@ -92,7 +92,7 @@ AUDITED = (
     "q232_session_gap_sweep",
     "q233_order_reconciliation",
     "q234_mad_outlier_audit",
-    # staged wave 10 (plans/llm_ops9.py; auto-loaded via EXTRA_MODULES)
+    # wave 10 (plans/llm_ops9.py; promoted round 7)
     "q235_bm25_retrieval",
     "q237_shingle_containment",
     "q238_source_term_cosine",
@@ -101,7 +101,7 @@ AUDITED = (
     "q242_item_cooccurrence_affinity",
     "q244_bigram_entropy_rate",
     "q245_rrf_hybrid_retrieval",
-    # staged wave 11 (plans/llm_ops10.py; auto-loaded via EXTRA_MODULES)
+    # wave 11 (plans/llm_ops10.py; promoted round 7)
     "q247_ohlc_daily_candles",
     "q249_matryoshka_truncation_audit",
     "q250_connected_components_minlabel",
