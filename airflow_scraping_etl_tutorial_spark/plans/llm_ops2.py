@@ -371,10 +371,13 @@ def q128_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sql_simhash_pairs_oracle(max_hamming: int = 3, n_bits: int = 60) -> str:
-    """DuckDB twin of dedup.simhash_near_duplicates: replay q69's
-    fingerprints, the pigeonhole block self-join, and the Hamming
-    verify."""
+def _sql_simhash_pairs_cte(max_hamming: int = 3, n_bits: int = 60) -> str:
+    """CTE chain st -> sv -> sfps -> scand -> spairs: the SimHash
+    near-dup pipeline (token bit-votes, fingerprints, pigeonhole
+    block candidates, exact Hamming verify) in DuckDB. Callers append
+    their own final SELECT over `spairs` (doc_id_a, doc_id_b,
+    hamming). CTE names are prefixed `s` so the chain composes with
+    _sql_minhash_pairs' sh/hx/cand/pairs in one WITH (q264)."""
     n_blocks = max_hamming + 1
     width = n_bits // n_blocks
     mask = (1 << width) - 1
@@ -389,21 +392,33 @@ def _sql_simhash_pairs_oracle(max_hamming: int = 3, n_bits: int = 60) -> str:
         for i in range(n_blocks)
     )
     return f"""
-    WITH t AS (
+    st AS (
       SELECT doc_id, {_sql_hex60('MD5(tok)', 1)} AS h
       FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
     ),
-    v AS (SELECT doc_id, {votes} FROM t GROUP BY doc_id),
-    fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM v),
-    cand AS (
+    sv AS (SELECT doc_id, {votes} FROM st GROUP BY doc_id),
+    sfps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM sv),
+    scand AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.fp AS fp_a, b.fp AS fp_b
-      FROM fps a JOIN fps b
+      FROM sfps a JOIN sfps b
         ON a.doc_id < b.doc_id AND ({block_eq})
+    ),
+    spairs AS (
+      SELECT doc_id_a, doc_id_b,
+             CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+      FROM scand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
     )
-    SELECT doc_id_a, doc_id_b,
-           CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
-    ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def _sql_simhash_pairs_oracle(max_hamming: int = 3, n_bits: int = 60) -> str:
+    """DuckDB twin of dedup.simhash_near_duplicates: replay q69's
+    fingerprints, the pigeonhole block self-join, and the Hamming
+    verify."""
+    return f"""
+    WITH {_sql_simhash_pairs_cte(max_hamming, n_bits)}
+    SELECT doc_id_a, doc_id_b, hamming
+    FROM spairs ORDER BY doc_id_a, doc_id_b
     """
 
 

@@ -53,9 +53,10 @@ _QUERY_MODULES = (
 # attestation budget clears (see all_queries()). Tooling (explain
 # audit, catalog lint, staged sweeps) loads them from here so the
 # list cannot drift between consumers. Promotion = move the module
-# name into _QUERY_MODULES above. Empty since round 7 promoted
-# waves 8-11: the full 257-entry catalog is live.
-STAGED_MODULES = ()
+# name into _QUERY_MODULES above.
+STAGED_MODULES = (
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops11",  # wave 12, round 8
+)
 
 
 @dataclass(frozen=True)
