@@ -277,9 +277,16 @@ def q260_duplicate_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFra
     shuffle (the q60 hash-first doctrine — 8-byte keys move, text
     never does); the shingle-df aggregate is map-side combined; the
     decile is pure integer arithmetic (LEAST(9, (10*n_dup) div n_sh))
-    so no float ever exists to diverge."""
+    so no float ever exists to diverge. The exploded hash stream feeds
+    both the df aggregate and the join, so it is persisted once (the
+    minhash_near_duplicates pattern) — without it the text scan and
+    shingle hashing run twice."""
+    from ..functions.caching import tag_intermediates
+
     docs = load(spark, sf_dir, "documents")
-    sh = shingle_words(docs, 3).select("doc_id", F.explode("xs").alias("x"))
+    sh = (
+        shingle_words(docs, 3).select("doc_id", F.explode("xs").alias("x")).persist()
+    )
     dfc = sh.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
     per = (
         sh.join(dfc, "x")
@@ -289,7 +296,7 @@ def q260_duplicate_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
         )
     )
-    return (
+    out = (
         per.select(
             F.least(F.lit(9), F.expr("(10 * n_dup) div n_sh"))
             .cast("int")
@@ -299,6 +306,7 @@ def q260_duplicate_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("dup_decile")
     )
+    return tag_intermediates(out, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -419,9 +427,17 @@ def q262_token_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the global frequency table is a map-side-combined vocab
     aggregate (vocab << corpus) that broadcasts back onto the token
     stream; banding is a map-only CASE; the final aggregate groups on
-    (source, band) — a handful of rows per source."""
+    (source, band) — a handful of rows per source. The token stream
+    feeds the vocab aggregate AND the banding join, and the banded
+    stream feeds the totals AND the final aggregate — both are
+    persisted once so the text scan and tokenization run once, not
+    four times."""
+    from ..functions.caching import tag_intermediates
+
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).persist()
     cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     band = (
         F.when(F.col("c") == 1, "1")
@@ -430,9 +446,13 @@ def q262_token_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c") <= 8, "5-8")
         .otherwise("9+")
     )
-    b = tok.join(F.broadcast(cnt), "tok").select("source", band.alias("freq_band"))
+    b = (
+        tok.join(F.broadcast(cnt), "tok")
+        .select("source", band.alias("freq_band"))
+        .persist()
+    )
     tot = b.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    return (
+    out = (
         b.groupBy("source", "freq_band")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .join(F.broadcast(tot), "source")
@@ -444,6 +464,7 @@ def q262_token_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "freq_band")
     )
+    return tag_intermediates(out, tok, b)
 
 
 # ---------------------------------------------------------------------------

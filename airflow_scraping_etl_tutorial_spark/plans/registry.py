@@ -56,6 +56,7 @@ _QUERY_MODULES = (
 # name into _QUERY_MODULES above.
 STAGED_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops11",  # wave 12, round 8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops12",  # wave 13, round 8
 )
 
 

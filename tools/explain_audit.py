@@ -109,6 +109,15 @@ AUDITED = (
     "q253_volume_trend_slope",
     "q255_top_event_paths",
     "q256_k_anonymity_audit",
+    # staged wave 12 (plans/llm_ops11.py; auto-loaded via EXTRA_MODULES)
+    "q258_kmeans_converged_assignment",
+    "q259_kcore_peel_rounds",
+    "q260_duplicate_shingle_coverage",
+    "q261_time_split_leakage",
+    "q262_token_tail_mass",
+    "q264_detector_agreement",
+    "q265_dedup_mixture_shift",
+    "q266_event_type_fano",
 )
 
 
