@@ -99,11 +99,17 @@ def q267_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: the histogram is ONE map-side-combined 256-group aggregate
     plus a 256-row running sum — mergeable across any partitioning,
     the structure a 100 TB percentile dashboard actually ships. The
-    exact baseline is the audit side: a global ROW_NUMBER selection
-    that full scale replaces with a sampled baseline (q143's pattern).
-    Floats are identical-IEEE on both engines (one subtraction, one
-    division, one FLOOR — the q98 doctrine); ranks are the exact
-    integer form (n*p+99) div 100."""
+    exact baseline is ALSO scale-safe: instead of a global ROW_NUMBER
+    over the fact table (single-partition sort — the WindowExec trap),
+    the histogram's cumulative counts locate the ≤3 bins that contain
+    the target ranks, the fact table is semi-joined down to those bins
+    (a ~1/256 slice), and ROW_NUMBER runs partitioned BY BIN on the
+    slice: global rank = bin's preceding-cum + rank-in-bin, exact
+    because bin is a function of the sort key, so within-bin order is
+    global order restricted to the bin. The only unpartitioned window
+    left is the 256-row running sum. Floats are identical-IEEE on both
+    engines (one subtraction, one division, one FLOOR — the q98
+    doctrine); ranks are the exact integer form (n*p+99) div 100."""
     o = load(spark, sf_dir, "orders")
     s = o.agg(
         F.min("o_totalprice").alias("lo"),
@@ -117,30 +123,47 @@ def q267_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame
             F.least(
                 F.lit(_BINS - 1),
                 F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
-            ).alias("bin")
+            ).alias("bin"),
+            F.col("o_totalprice").alias("v"),
+            "o_orderkey",
         )
     )
     h = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     c = h.select(
-        "bin", F.sum("cnt").over(W.orderBy("bin")).alias("cum")
-    )
-    r = o.select(
-        F.col("o_totalprice").alias("v"),
-        F.row_number()
-        .over(W.orderBy("o_totalprice", "o_orderkey"))
-        .alias("rn"),
+        "bin",
+        F.sum("cnt").over(W.orderBy("bin")).alias("cum"),
+        (F.sum("cnt").over(W.orderBy("bin")) - F.col("cnt")).alias("prev_cum"),
     )
     p = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
     rank = F.expr("(n * pct + 99) div 100")
+    targets = p.crossJoin(F.broadcast(s.select("n"))).select(
+        "pct", rank.alias("k")
+    )
+    # bin containing rank k = first bin whose cumulative count reaches k
+    tbin = (
+        targets.join(F.broadcast(c), F.col("cum") >= F.col("k"))
+        .groupBy("pct", "k")
+        .agg(F.min("bin").alias("bin"))
+        .join(F.broadcast(c), "bin")
+        .select("pct", "bin", (F.col("k") - F.col("prev_cum")).alias("k_in_bin"))
+    )
     exact = (
-        p.crossJoin(F.broadcast(s.select("n")))
-        .join(r, r["rn"] == rank)
+        b.join(
+            F.broadcast(tbin.select("bin").distinct()), "bin", "left_semi"
+        )
+        .withColumn(
+            "rn_in_bin",
+            F.row_number().over(
+                W.partitionBy("bin").orderBy("v", "o_orderkey")
+            ),
+        )
+        .join(F.broadcast(tbin), ["bin"])
+        .where(F.col("rn_in_bin") == F.col("k_in_bin"))
         .groupBy("pct")
         .agg(F.min("v").alias("exact_value"))
     )
     est = (
-        p.crossJoin(F.broadcast(s.select("n")))
-        .join(c, c["cum"] >= rank)
+        targets.join(F.broadcast(c), F.col("cum") >= F.col("k"))
         .groupBy("pct")
         .agg(F.min("bin").alias("est_bin"))
     )
