@@ -109,13 +109,19 @@ def q267_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame
     global order restricted to the bin. The only unpartitioned window
     left is the 256-row running sum. Floats are identical-IEEE on both
     engines (one subtraction, one division, one FLOOR — the q98
-    doctrine); ranks are the exact integer form (n*p+99) div 100."""
+    doctrine); ranks are the exact integer form (n*p+99) div 100. The
+    1-row stats and the 256-row cumulative histogram are persisted —
+    each feeds 3-4 consumers, and without the persist every textual
+    repetition of their lineage is a REAL extra aggregation pass over
+    the fact table."""
+    from ..functions.caching import tag_intermediates
+
     o = load(spark, sf_dir, "orders")
     s = o.agg(
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).persist()
     width = (F.col("hi") - F.col("lo")) / F.lit(float(_BINS))
     b = (
         o.crossJoin(F.broadcast(s))
@@ -133,7 +139,7 @@ def q267_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame
         "bin",
         F.sum("cnt").over(W.orderBy("bin")).alias("cum"),
         (F.sum("cnt").over(W.orderBy("bin")) - F.col("cnt")).alias("prev_cum"),
-    )
+    ).persist()
     p = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
     rank = F.expr("(n * pct + 99) div 100")
     targets = p.crossJoin(F.broadcast(s.select("n"))).select(
@@ -167,8 +173,8 @@ def q267_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("pct")
         .agg(F.min("bin").alias("est_bin"))
     )
-    return (
-        est.join(exact, "pct")
+    out = (
+        est.join(F.broadcast(exact), "pct")
         .crossJoin(F.broadcast(s))
         .select(
             F.col("pct").cast("int").alias("pct"),
@@ -178,6 +184,7 @@ def q267_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("pct")
     )
+    return tag_intermediates(out, s, c)
 
 
 # ---------------------------------------------------------------------------

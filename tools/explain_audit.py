@@ -118,6 +118,13 @@ AUDITED = (
     "q264_detector_agreement",
     "q265_dedup_mixture_shift",
     "q266_event_type_fano",
+    # staged wave 13 (plans/llm_ops12.py)
+    "q267_histogram_quantile_error",
+    "q268_edit_distance_one_join",
+    "q269_incremental_signature_maintenance",
+    "q270_curriculum_interleave_plan",
+    "q271_source_kl_divergence",
+    "q272_dedup_keep_policy_impact",
 )
 
 
