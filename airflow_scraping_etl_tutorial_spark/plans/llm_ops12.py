@@ -340,11 +340,16 @@ def q269_incremental_signature_maintenance(
     per doc), never text-keyed. At 100 TB the rebuild side of the
     audit runs sampled (q143 doctrine) — here it runs in full so the
     oracle can value-check the zero."""
+    from ..functions.caching import tag_intermediates
+
     docs = load(spark, sf_dir, "documents")
     changed_ids = docs.select("doc_id").filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
     )
-    full_sigs = minhash_signatures(docs, n_hashes=8)
+    # the from-scratch signature table feeds the reuse anti-join, the
+    # equality audit, AND the final count — persist it (8 int64 + id
+    # per doc) so the text scan + shingle + hash lineage runs once
+    full_sigs = minhash_signatures(docs, n_hashes=8).persist()
     recomputed = minhash_signatures(
         docs.join(F.broadcast(changed_ids), "doc_id"), n_hashes=8
     )
@@ -355,7 +360,7 @@ def q269_incremental_signature_maintenance(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("n").alias("n_mismatch"))
     )
-    return (
+    out = (
         full_sigs.agg(F.count(F.lit(1)).alias("n_docs"))
         .crossJoin(changed_ids.agg(F.count(F.lit(1)).alias("n_recomputed")))
         .crossJoin(n_mismatch)
@@ -371,6 +376,7 @@ def q269_incremental_signature_maintenance(
             F.col("n_mismatch").cast("bigint").alias("n_mismatch"),
         )
     )
+    return tag_intermediates(out, full_sigs)
 
 
 # ---------------------------------------------------------------------------
@@ -583,7 +589,11 @@ def q272_dedup_keep_policy_impact(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: one hash-groupBy on md5(text) (32-byte keys shuffle, text
     never does — the q60 economics) computing all three policies in
-    the same pass; the output is three rows."""
+    the same pass; the three per-policy sums come from ONE global
+    aggregate over the group table, unpivoted with stack — the text
+    scan, tokenization, and group shuffle run exactly once (the
+    earlier union-of-three-aggregates form re-ran that lineage per
+    policy); the output is three rows."""
     docs = load(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -595,19 +605,18 @@ def q272_dedup_keep_policy_impact(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("n_tok").alias("longest_tok"),
         F.min("n_tok").alias("shortest_tok"),
     )
-    rows = []
-    for policy, col in (
-        ("keep_first", "first_tok"),
-        ("keep_longest", "longest_tok"),
-        ("keep_shortest", "shortest_tok"),
-    ):
-        rows.append(
-            g.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-                F.sum(col).cast("bigint").alias("tokens_kept"),
-            ).select(F.lit(policy).alias("policy"), "n_kept", "tokens_kept")
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("first_tok").cast("bigint").alias("first_sum"),
+        F.sum("longest_tok").cast("bigint").alias("longest_sum"),
+        F.sum("shortest_tok").cast("bigint").alias("shortest_sum"),
+    )
+    return t.select(
+        F.expr(
+            "stack(3,"
+            " 'keep_first',    n_groups, first_sum,"
+            " 'keep_longest',  n_groups, longest_sum,"
+            " 'keep_shortest', n_groups, shortest_sum"
+            ") AS (policy, n_kept, tokens_kept)"
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("policy")
+    ).orderBy("policy")
