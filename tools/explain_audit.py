@@ -125,6 +125,13 @@ AUDITED = (
     "q270_curriculum_interleave_plan",
     "q271_source_kl_divergence",
     "q272_dedup_keep_policy_impact",
+    # staged wave 14 (plans/llm_ops13.py)
+    "q273_dup_graph_assortativity",
+    "q274_blocking_key_quality",
+    "q275_mergeable_moments_audit",
+    "q276_naive_forecast_backtest",
+    "q277_touch_attribution",
+    "q278_histogram_merge_audit",
 )
 
 
