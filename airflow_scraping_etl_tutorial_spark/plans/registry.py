@@ -58,6 +58,7 @@ STAGED_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops11",  # wave 12, round 8
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops12",  # wave 13, round 8
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops13",  # wave 14, round 8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops14",  # wave 15, round 8
 )
 
 

@@ -132,6 +132,13 @@ AUDITED = (
     "q276_naive_forecast_backtest",
     "q277_touch_attribution",
     "q278_histogram_merge_audit",
+    # staged wave 15 (plans/llm_ops14.py)
+    "q279_poisson_bootstrap_mean",
+    "q280_functional_dependency_audit",
+    "q281_source_coverage_curve",
+    "q282_hard_negative_mining",
+    "q283_padding_waste_audit",
+    "q284_memorylessness_audit",
 )
 
 
