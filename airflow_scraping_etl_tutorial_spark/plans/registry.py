@@ -59,6 +59,7 @@ STAGED_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops12",  # wave 13, round 8
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops13",  # wave 14, round 8
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops14",  # wave 15, round 8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops15",  # wave 16, round 8
 )
 
 

@@ -139,6 +139,12 @@ AUDITED = (
     "q282_hard_negative_mining",
     "q283_padding_waste_audit",
     "q284_memorylessness_audit",
+    # staged wave 16 (plans/llm_ops15.py)
+    "q285_waterfill_token_allocation",
+    "q286_ranking_stability_bootstrap",
+    "q287_type_hour_mutual_information",
+    "q288_dictionary_encoding_benefit",
+    "q289_runtime_filter_benefit",
 )
 
 
