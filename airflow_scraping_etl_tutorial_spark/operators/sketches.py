@@ -149,3 +149,38 @@ def cm_cells(tok_df: DataFrame) -> DataFrame:
             )
         ).alias("c")
     ).select("c.row", "c.k")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-edge histogram — the fourth mergeable-state shape
+# ---------------------------------------------------------------------------
+
+
+def fixed_bin(value: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Bin index for a FIXED-edge equi-width histogram: floor of the
+    subtract-divide, clamped into [0, n_bins-1] (out-of-range values
+    land in the edge bins rather than being dropped — a streaming
+    ingest cannot re-derive edges, so the edges must tolerate drift).
+    The same IEEE subtract/divide/floor runs in the q267/q278 batch
+    estimators and their DuckDB oracles, so batch, stream, and oracle
+    agree bit-for-bit on the bin of every value."""
+    width = (hi - lo) / float(n_bins)
+    return F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((value - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+
+
+def histogram_fixed(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int = 256
+) -> DataFrame:
+    """(bin, cnt) equi-width histogram with FIXED edges — the batch
+    twin of streaming.sketches.streaming_histogram and the
+    executor-local structure q278 proves partition-mergeable (counts
+    merge by +). NULL values are excluded on both batch and stream."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(fixed_bin(F.col(value_col), lo, hi, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

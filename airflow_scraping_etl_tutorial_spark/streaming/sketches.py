@@ -62,3 +62,31 @@ def streaming_bloom_bitmap(
     from ..operators.membership import bloom_bitmap
 
     return bloom_bitmap(df, key_col=key_col, m_bits=m_bits, k_hashes=k_hashes)
+
+
+def streaming_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Running fixed-edge histogram over a streaming numeric column —
+    the fourth mergeable-state shape (HLL merges by MAX, count-min
+    by +, Bloom by OR; the histogram's per-bin COUNTs also merge
+    by +, which q278 proves as data on the batch side). Edges are
+    FIXED parameters: a stream cannot make a global min/max pass
+    first, so production picks edges from yesterday's batch stats
+    (q267's 1-row (lo, hi) aggregate) and the clamped edge bins
+    absorb drift. State is ≤ n_bins rows regardless of stream
+    length; complete output mode; a snapshot at any point is the
+    exact histogram of everything ingested so far, and q267's
+    quantile estimator reads it unchanged."""
+    from ..operators.sketches import fixed_bin
+
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(fixed_bin(F.col(value_col), lo, hi, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -430,3 +430,59 @@ def test_streaming_bloom_bitmap_matches_batch_and_screens(spark, tmp_path):
 
     probed = bloom_probe(batch_docs, streamed)
     assert all(r.bloom_hit == 1 for r in probed.collect())  # no false negatives
+
+
+def test_streaming_histogram_matches_batch_and_feeds_quantiles(spark, tmp_path):
+    """The drained streaming histogram equals the batch fixed-edge
+    histogram (per-bin COUNT merges by + — the property q278 proves
+    as data), every event is binned (clamped edges drop nothing), and
+    the snapshot supports the q267-style quantile read."""
+    from airflow_scraping_etl_tutorial_spark.operators.sketches import (
+        histogram_fixed,
+    )
+    from airflow_scraping_etl_tutorial_spark.streaming.sketches import (
+        streaming_histogram,
+    )
+
+    ev_dir = str(tmp_path / "events_hist_stream")
+    batch_ev = load(spark, SF_DIR, "events")
+    batch_ev.repartition(4).write.mode("overwrite").parquet(ev_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(ev_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    q = (
+        streaming_histogram(stream, "value", lo=0.0, hi=1000.0, n_bins=64)
+        .writeStream.format("memory")
+        .queryName("hist_bins")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    got = {
+        r.bin: r.cnt for r in spark.sql("SELECT * FROM hist_bins").collect()
+    }
+    want = {
+        r.bin: r.cnt
+        for r in histogram_fixed(batch_ev, "value", 0.0, 1000.0, 64).collect()
+    }
+    assert got == want
+    assert n_batches >= 4  # state built incrementally, not in one gulp
+    # nothing dropped: clamped edge bins absorb out-of-range values
+    n_values = batch_ev.filter(F.col("value").isNotNull()).count()
+    assert sum(got.values()) == n_values
+    assert all(0 <= b <= 63 for b in got)
+    # the snapshot answers a p50 read the q267 way: smallest bin whose
+    # cumulative count reaches ceil(n/2)
+    rank = (n_values + 1) // 2
+    cum, p50_bin = 0, None
+    for b in sorted(got):
+        cum += got[b]
+        if cum >= rank:
+            p50_bin = b
+            break
+    assert p50_bin is not None
