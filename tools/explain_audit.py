@@ -145,6 +145,10 @@ AUDITED = (
     "q287_type_hour_mutual_information",
     "q288_dictionary_encoding_benefit",
     "q289_runtime_filter_benefit",
+    # staged wave 17 (plans/llm_ops16.py)
+    "q290_quantile_stability_bootstrap",
+    "q291_step_changepoint",
+    "q292_cusum_drift",
 )
 
 
