@@ -486,3 +486,23 @@ def test_streaming_histogram_matches_batch_and_feeds_quantiles(spark, tmp_path):
             p50_bin = b
             break
     assert p50_bin is not None
+
+
+def test_fixed_bin_clamps_and_bins_exactly(spark):
+    """fixed_bin puts out-of-range values in the edge bins (a stream
+    cannot re-derive edges, so drift must not drop rows) and bins
+    interior values by the same IEEE floor the q267/q278 oracles
+    replay."""
+    from airflow_scraping_etl_tutorial_spark.operators.sketches import fixed_bin
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (3.99,), (4.0,), (39.99,), (40.0,), (999.0,)],
+        "v double",
+    )
+    got = [
+        r.bin
+        for r in df.select(fixed_bin(F.col("v"), 0.0, 40.0, 10).alias("bin"))
+        .collect()
+    ]
+    #            -5   0  3.99 4.0 39.99 40  999
+    assert got == [0,  0,  0,  1,  9,    9,  9]
