@@ -149,6 +149,10 @@ AUDITED = (
     "q290_quantile_stability_bootstrap",
     "q291_step_changepoint",
     "q292_cusum_drift",
+    # staged wave 18 (plans/llm_ops17.py)
+    "q293_theil_sen_slope",
+    "q294_mann_kendall_trend",
+    "q295_daily_autocorrelation",
 )
 
 
