@@ -62,6 +62,7 @@ STAGED_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops15",  # wave 16, round 8
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops16",  # wave 17, round 8
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops17",  # wave 18, round 8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops18",  # wave 19, round 8
 )
 
 

@@ -153,6 +153,11 @@ AUDITED = (
     "q293_theil_sen_slope",
     "q294_mann_kendall_trend",
     "q295_daily_autocorrelation",
+    # staged wave 19 (plans/llm_ops18.py)
+    "q296_ab_chisquare_conversion",
+    "q297_empirical_bayes_rates",
+    "q298_capture_recapture_estimate",
+    "q299_unseen_vocab_estimators",
 )
 
 
