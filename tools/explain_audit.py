@@ -158,6 +158,10 @@ AUDITED = (
     "q297_empirical_bayes_rates",
     "q298_capture_recapture_estimate",
     "q299_unseen_vocab_estimators",
+    # staged wave 20 (plans/llm_ops19.py)
+    "q300_permutation_test_conversion",
+    "q301_standardized_conversion",
+    "q302_difference_in_differences",
 )
 
 
