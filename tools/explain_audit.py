@@ -162,6 +162,9 @@ AUDITED = (
     "q300_permutation_test_conversion",
     "q301_standardized_conversion",
     "q302_difference_in_differences",
+    # staged wave 21 (plans/llm_ops20.py)
+    "q303_kaplan_meier_conversion",
+    "q304_logrank_test",
 )
 
 
