@@ -165,6 +165,15 @@ AUDITED = (
     # staged wave 21 (plans/llm_ops20.py)
     "q303_kaplan_meier_conversion",
     "q304_logrank_test",
+    # staged wave 22 (plans/llm_ops21.py)
+    "q305_postings_compression_audit",
+    "q306_fold_dup_leakage",
+    "q307_source_ablation_coverage",
+    "q308_resharding_migration_audit",
+    # staged wave 23 (plans/llm_ops22.py)
+    "q309_phrase_query_positional",
+    "q310_ab_power_sample_size",
+    "q311_greedy_source_selection",
 )
 
 
