@@ -174,6 +174,9 @@ AUDITED = (
     "q309_phrase_query_positional",
     "q310_ab_power_sample_size",
     "q311_greedy_source_selection",
+    # staged wave 24 (plans/llm_ops23.py)
+    "q312_zorder_skipping_benefit",
+    "q313_rle_sortorder_benefit",
 )
 
 
