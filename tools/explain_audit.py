@@ -177,6 +177,10 @@ AUDITED = (
     # staged wave 24 (plans/llm_ops23.py)
     "q312_zorder_skipping_benefit",
     "q313_rle_sortorder_benefit",
+    # staged wave 25 (plans/llm_ops24.py)
+    "q314_ams_selfjoin_estimate",
+    "q315_join_order_cost_audit",
+    "q316_predicate_correlation_audit",
 )
 
 
