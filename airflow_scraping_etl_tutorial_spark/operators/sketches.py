@@ -184,3 +184,59 @@ def histogram_fixed(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS second-moment (F2 / self-join size) sketch
+# ---------------------------------------------------------------------------
+
+AMS_N_EST = 8
+
+
+def ams_sign(key: Column, j: int) -> Column:
+    """±1 sign hash for AMS estimator j: md5-parity of the key — the
+    q314 catalog audit and streaming.sketches.streaming_ams_sums share
+    this exact expression, and its DuckDB twin is llm_ops24._sql_sign,
+    so batch, stream, and oracle build the identical sketch."""
+    return F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f":ams{j}"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+
+
+def ams_sign_rows(df: DataFrame, key_col: str, n_est: int = AMS_N_EST) -> DataFrame:
+    """(key) -> (est, sign) rows, one per estimator per input ROW.
+    Because Σ_k s_j(k)·f_k = Σ_rows s_j(key(row)), the AMS state is a
+    plain SUM over these rows — LINEAR state that needs no per-key
+    frequency table, merges across partitions/streams by +, and is
+    valid on batch and streaming DataFrames alike."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("est"),
+                ams_sign(F.col(key_col), j).alias("sign"),
+            )
+            for j in range(n_est)
+        ]
+    )
+    return df.select(F.explode(pairs).alias("p")).select("p.est", "p.sign")
+
+
+def ams_sums(df: DataFrame, key_col: str, n_est: int = AMS_N_EST) -> DataFrame:
+    """(est, s) running signed sums — the fifth mergeable-state shape
+    (HLL merges by MAX, count-min by +, Bloom by OR, histograms by +;
+    AMS counters also merge by +, but estimate a JOIN-size moment:
+    each s² is an unbiased estimate of Σ f², audited against the exact
+    value by q314). State is n_est integers regardless of stream
+    length."""
+    return ams_sign_rows(df, key_col, n_est).groupBy("est").agg(
+        F.sum("sign").alias("s")
+    )

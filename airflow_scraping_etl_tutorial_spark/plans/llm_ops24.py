@@ -56,21 +56,9 @@ def _sql_sign(j: int) -> str:
     )
 
 
-def _spark_sign(j: int) -> F.Column:
-    return F.when(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f":ams{j}"))),
-                1,
-                1,
-            ),
-            16,
-            10,
-        ).cast("int")
-        % 2
-        == 0,
-        1,
-    ).otherwise(-1)
+# Spark-side sign comes from the shared sketch operator so the batch
+# catalog, the streaming state (streaming/sketches.streaming_ams_sums),
+# and this oracle SQL cannot drift apart.
 
 
 @query(
@@ -110,10 +98,13 @@ def q314_ams_selfjoin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle to per-key frequencies, then a single
     map-side-combinable aggregate computes the exact F2 and all
     eight signed sums in one pass; output is 8 rows."""
+    from ..operators.sketches import ams_sign
+
     ev = load(spark, sf_dir, "events")
     f = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("fk"))
     aggs = [F.sum(F.col("fk") * F.col("fk")).alias("f2")] + [
-        F.sum(F.col("fk") * _spark_sign(j)).alias(f"s{j}") for j in range(_N_EST)
+        F.sum(F.col("fk") * ams_sign(F.col("user_id"), j)).alias(f"s{j}")
+        for j in range(_N_EST)
     ]
     sums = f.agg(*aggs)
     stack = ", ".join(f"{j}, s{j} * s{j}" for j in range(_N_EST))

@@ -90,3 +90,21 @@ def streaming_histogram(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def streaming_ams_sums(
+    df: DataFrame, key_col: str = "user_id", n_est: int = 8
+) -> DataFrame:
+    """Running AMS signed-counter state over a streaming key column —
+    the fifth mergeable-state shape (see operators/sketches.ams_sums,
+    the batch twin this must equal after any drain). Each of the
+    n_est counters is a SUM of ±1 md5-parity signs, so the state is
+    n_est integers, needs no watermark, and a snapshot's s² values
+    are live unbiased estimates of the stream's self-join size
+    Σ f² — the quantity q314 audits against ground truth in batch.
+    Complete output mode; counters merge across streams by +."""
+    from ..operators.sketches import ams_sign_rows
+
+    return ams_sign_rows(df, key_col, n_est).groupBy("est").agg(
+        F.sum("sign").alias("s")
+    )

@@ -506,3 +506,50 @@ def test_fixed_bin_clamps_and_bins_exactly(spark):
     ]
     #            -5   0  3.99 4.0 39.99 40  999
     assert got == [0,  0,  0,  1,  9,    9,  9]
+
+
+def test_streaming_ams_matches_batch_and_q314(spark, tmp_path):
+    """The streaming AMS counter state equals the batch twin after the
+    drain (fifth mergeable shape: signed counters merge by +), and its
+    squared counters are exactly the q314 catalog estimates — the
+    sketch is LINEAR in events, so replaying the events table one
+    file per micro-batch must land on the identical 8 integers."""
+    from airflow_scraping_etl_tutorial_spark.operators.sketches import ams_sums
+    from airflow_scraping_etl_tutorial_spark.plans import llm_ops24  # noqa: F401
+    from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+    from airflow_scraping_etl_tutorial_spark.streaming.sketches import (
+        streaming_ams_sums,
+    )
+
+    ev_dir = str(tmp_path / "ev_stream")
+    batch_ev = load(spark, SF_DIR, "events").select("user_id")
+    batch_ev.repartition(4).write.mode("overwrite").parquet(ev_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(ev_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    q = (
+        streaming_ams_sums(stream, "user_id")
+        .writeStream.format("memory")
+        .queryName("ams_sums")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    got = {
+        r.est: r.s for r in spark.sql("SELECT * FROM ams_sums").collect()
+    }
+    want = {r.est: r.s for r in ams_sums(batch_ev, "user_id").collect()}
+    assert got == want
+    assert n_batches >= 4  # state built incrementally
+    assert set(got) == set(range(8))
+    # the live counters square to the q314 audit's estimates
+    q314 = {
+        r.estimator: r.estimate
+        for r in _REGISTRY["q314_ams_selfjoin_estimate"].fn(spark, SF_DIR).collect()
+    }
+    assert {j: s * s for j, s in got.items()} == q314
