@@ -181,6 +181,10 @@ AUDITED = (
     "q314_ams_selfjoin_estimate",
     "q315_join_order_cost_audit",
     "q316_predicate_correlation_audit",
+    # staged wave 26 (plans/llm_ops25.py)
+    "q317_markov_absorption_reach",
+    "q318_hill_tail_index",
+    "q319_follow_leader_regret",
 )
 
 
