@@ -185,6 +185,9 @@ AUDITED = (
     "q317_markov_absorption_reach",
     "q318_hill_tail_index",
     "q319_follow_leader_regret",
+    # staged wave 27 (plans/llm_ops26.py)
+    "q320_rolling_distinct_audit",
+    "q321_markov_order_audit",
 )
 
 
