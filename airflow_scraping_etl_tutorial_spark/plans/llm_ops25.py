@@ -150,12 +150,15 @@ def q317_markov_absorption_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for k in range(1, _K_STEPS + 1):
         stepped = (
-            p.join(v.select(F.col("s").alias("to_type"), "v"), "to_type")
+            p.join(
+                F.broadcast(v.select(F.col("s").alias("to_type"), "v")),
+                "to_type",
+            )
             .groupBy("from_type")
             .agg(F.expr("SUM(p_ppm * v) div 1000000").alias("ev"))
         )
         v = states.join(
-            stepped, states.s == stepped.from_type, "left"
+            F.broadcast(stepped), states.s == stepped.from_type, "left"
         ).select(
             "s",
             F.when(F.col("s") == _ABSORB, F.lit(1000000))
