@@ -28,7 +28,8 @@ def duck():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    return con
+    yield con
+    con.close()
 
 
 def test_all_oracles_parse_in_duckdb(duck):

@@ -47,7 +47,8 @@ def duck():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    return con
+    yield con
+    con.close()
 
 
 # q35 exercises POW deliberately AS the math-function surface; its

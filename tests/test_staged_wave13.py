@@ -28,7 +28,10 @@ STAGED = [
 
 @pytest.fixture(scope="module")
 def duck():
-    return duck_views(SF_DIR)
+    con = duck_views(SF_DIR)
+    yield con
+    con.close()  # free DuckDB memory: 20+ live module connections
+    # degrade the process allocator (the sharded-sweep lesson)
 
 
 @pytest.mark.parametrize("name", STAGED)

@@ -37,7 +37,10 @@ STAGED = [
 
 @pytest.fixture(scope="module")
 def duck():
-    return duck_views(SF_DIR)
+    con = duck_views(SF_DIR)
+    yield con
+    con.close()  # free DuckDB memory: 20+ live module connections
+    # degrade the process allocator (the sharded-sweep lesson)
 
 
 
@@ -104,6 +107,7 @@ def test_levenshtein_ascii_parity(spark):
     for (a, b), s in zip(pairs, srows):
         (d,) = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()
         assert d == s.d
+    con.close()
 
 
 def test_incremental_delta_equals_window_aggregate(spark, duck):
@@ -213,3 +217,4 @@ def test_levenshtein_ascii_parity_fuzz(spark):
     for r in srows:
         (d,) = con.execute("SELECT levenshtein(?, ?)", [r.a, r.b]).fetchone()
         assert d == r.d, (r.a, r.b)
+    con.close()

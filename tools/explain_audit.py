@@ -188,6 +188,10 @@ AUDITED = (
     # staged wave 27 (plans/llm_ops26.py)
     "q320_rolling_distinct_audit",
     "q321_markov_order_audit",
+    # staged wave 28 (plans/llm_ops27.py)
+    "q322_anova_source_lengths",
+    "q323_gains_curve",
+    "q324_ks_two_sample",
 )
 
 
