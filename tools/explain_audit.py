@@ -192,6 +192,9 @@ AUDITED = (
     "q322_anova_source_lengths",
     "q323_gains_curve",
     "q324_ks_two_sample",
+    # staged wave 29 (plans/llm_ops28.py)
+    "q325_mann_whitney_binned",
+    "q326_bh_fdr_control",
 )
 
 
