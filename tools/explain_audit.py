@@ -195,6 +195,9 @@ AUDITED = (
     # staged wave 29 (plans/llm_ops28.py)
     "q325_mann_whitney_binned",
     "q326_bh_fdr_control",
+    # staged wave 30 (plans/llm_ops29.py)
+    "q327_cuped_variance_reduction",
+    "q328_jackknife_ratio_dispersion",
 )
 
 
