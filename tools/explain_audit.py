@@ -198,6 +198,9 @@ AUDITED = (
     # staged wave 30 (plans/llm_ops29.py)
     "q327_cuped_variance_reduction",
     "q328_jackknife_ratio_dispersion",
+    # staged wave 31 (plans/llm_ops30.py)
+    "q329_isotonic_calibration",
+    "q330_reliability_ece",
 )
 
 
