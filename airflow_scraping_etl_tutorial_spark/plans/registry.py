@@ -75,6 +75,7 @@ STAGED_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops28",  # wave 29, round 8
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops29",  # wave 30, round 8
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops30",  # wave 31, round 8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops31",  # wave 32, round 8
 )
 
 

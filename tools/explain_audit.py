@@ -201,6 +201,8 @@ AUDITED = (
     # staged wave 31 (plans/llm_ops30.py)
     "q329_isotonic_calibration",
     "q330_reliability_ece",
+    # staged wave 32 (plans/llm_ops31.py)
+    "q331_conformal_coverage",
 )
 
 
