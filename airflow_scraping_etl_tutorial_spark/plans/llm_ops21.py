@@ -36,7 +36,7 @@ reads it back for downstream joins (dags/insert_data.py:53-61,
 README.md:21 — data collected for ML training-set assembly); these
 four are the audits that workflow needs the moment it scales: how big
 the serving index is, whether the eval fold is clean, which sources
-earn their keep, and whether users come back.
+earn their keep, and what a shard scale-out will cost.
 """
 
 from __future__ import annotations

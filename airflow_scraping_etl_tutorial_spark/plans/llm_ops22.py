@@ -81,7 +81,7 @@ _N_PHRASES = 3  # audit the top-k bigram phrases (deterministic tiebreak)
     sub AS (
       SELECT t.phrase, COUNT(*) AS n_docs_substring
       FROM top_ t JOIN documents d
-        ON (' ' || d.text || ' ') LIKE ('% ' || t.phrase || ' %')
+        ON CONTAINS(' ' || d.text || ' ', ' ' || t.phrase || ' ')
       GROUP BY t.phrase
     )
     SELECT hits.phrase,
@@ -176,12 +176,13 @@ _LIFT_PCT = 10  # minimum detectable effect: +10% relative
     oracle=f"""
     WITH u AS (
       SELECT COUNT(DISTINCT (user_id, CAST(ts AS DATE))) AS n_units
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ),
     conv AS (
       SELECT event_type,
              COUNT(DISTINCT (user_id, CAST(ts AS DATE))) AS n_conv
-      FROM events GROUP BY event_type
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY event_type
     ),
     base AS (
       SELECT event_type,
@@ -228,7 +229,9 @@ def q310_ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one distinct (user, day) aggregate per event type plus a
     1-row total broadcast — the sizing table costs a single pass
     however large the stream."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     day = F.to_date("ts")
     u = ev.agg(
         F.count_distinct(F.col("user_id"), day).alias("n_units")

@@ -280,11 +280,13 @@ def _sql_pair_row(label: str, pa: str, pb: str) -> str:
     SELECT pair,
            CAST(na * 1000000 // n AS BIGINT) AS sel_a_ppm,
            CAST(nb * 1000000 // n AS BIGINT) AS sel_b_ppm,
-           CAST(na * nb * 1000000 // (n * n) AS BIGINT)
+           CAST(CAST(na AS HUGEINT) * nb * 1000000
+                // (CAST(n AS HUGEINT) * n) AS BIGINT)
              AS independent_ppm,
            CAST(nab * 1000000 // n AS BIGINT) AS actual_ppm,
            CAST(CASE WHEN na * nb = 0 THEN 0
-                ELSE nab * n * 1000000 // (na * nb) END AS BIGINT)
+                ELSE CAST(nab AS HUGEINT) * n * 1000000
+                     // (CAST(na AS HUGEINT) * nb) END AS BIGINT)
              AS correlation_micro
     FROM pairs ORDER BY pair
     """,
@@ -334,11 +336,13 @@ def q316_predicate_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFr
         F.expr("CAST(na * 1000000 div n AS BIGINT)").alias("sel_a_ppm"),
         F.expr("CAST(nb * 1000000 div n AS BIGINT)").alias("sel_b_ppm"),
         F.expr(
-            "CAST(na * nb * 1000000 div (n * n) AS BIGINT)"
+            "CAST(CAST(na AS DECIMAL(38,0)) * nb * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("independent_ppm"),
         F.expr("CAST(nab * 1000000 div n AS BIGINT)").alias("actual_ppm"),
         F.expr(
             "CAST(CASE WHEN na * nb = 0 THEN 0"
-            " ELSE nab * n * 1000000 div (na * nb) END AS BIGINT)"
+            " ELSE CAST(nab AS DECIMAL(38,0)) * n * 1000000"
+            " div (CAST(na AS DECIMAL(38,0)) * nb) END AS BIGINT)"
         ).alias("correlation_micro"),
     ).orderBy("pair")

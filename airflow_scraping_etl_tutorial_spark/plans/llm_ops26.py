@@ -42,8 +42,8 @@ from ..functions.caching import tag_intermediates
 from ..operators.sketches import (
     HLL_M,
     SQL_HLL_EST,
+    hll_bucket_rho,
     hll_estimate_agg,
-    hll_registers_by,
 )
 from ..sources.tables import load
 from .registry import query
@@ -148,7 +148,13 @@ def q320_rolling_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = expanded.select(
         "window_end", F.col("user_id").cast("string").alias("tok")
     )
-    regs = hll_registers_by(toks, "window_end")
+    # expanded is already distinct on (user, window_end), so skip
+    # hll_registers_by's internal .distinct() (a second shuffle of the
+    # query's largest intermediate); MAX over any residual duplicate
+    # would be idempotent anyway (hll_bucket_rho doctrine).
+    regs = hll_bucket_rho(toks, "window_end").groupBy(
+        "window_end", "bucket"
+    ).agg(F.max("rho").alias("reg"))
     est = regs.groupBy("window_end").agg(
         F.round(hll_estimate_agg(), 4).alias("hll_estimate")
     )
@@ -198,7 +204,7 @@ _TOP_CTX = 5
            CAST(t.n_abc AS BIGINT) AS n_abc,
            CAST(t.n_abc * 1000000 // k.n_ab AS BIGINT) AS emp_ppm,
            CAST(bi.n_bc * 1000000 // btot.n_b AS BIGINT) AS chain_ppm,
-           CAST(CASE WHEN bi.n_bc = 0 THEN 0
+           CAST(CASE WHEN bi.n_bc * 1000000 // btot.n_b = 0 THEN 0
                 ELSE (t.n_abc * 1000000 // k.n_ab) * 1000000
                      // (bi.n_bc * 1000000 // btot.n_b) END AS BIGINT)
              AS ratio_micro
@@ -255,7 +261,7 @@ def q321_markov_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "chain_ppm"
             ),
             F.expr(
-                "CAST(CASE WHEN n_bc = 0 THEN 0"
+                "CAST(CASE WHEN n_bc * 1000000 div n_b = 0 THEN 0"
                 " ELSE (n_abc * 1000000 div n_ab) * 1000000"
                 " div (n_bc * 1000000 div n_b) END AS BIGINT)"
             ).alias("ratio_micro"),

@@ -43,6 +43,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
+from .llm_ops19 import _spark_gate, _sql_gate
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -71,8 +72,9 @@ from .registry import query
            CAST(n AS BIGINT) AS n_docs,
            CAST(fit - s * s // n AS BIGINT) AS ss_between,
            CAST(q - fit AS BIGINT) AS ss_within,
-           CAST((fit - s * s // n) * 1000000
-                // (q - s * s // n) AS BIGINT) AS eta2_ppm,
+           CAST(CASE WHEN q - s * s // n = 0 THEN 0
+                ELSE (fit - s * s // n) * 1000000
+                     // (q - s * s // n) END AS BIGINT) AS eta2_ppm,
            CAST(CASE WHEN q - fit = 0 OR k <= 1 THEN 0
                 ELSE CAST(fit - s * s // n AS HUGEINT) * (n - k) * 1000000
                      // (CAST(q - fit AS HUGEINT) * (k - 1)) END AS BIGINT)
@@ -118,8 +120,9 @@ def q322_anova_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(fit - s * s div n AS BIGINT)").alias("ss_between"),
         F.expr("CAST(q - fit AS BIGINT)").alias("ss_within"),
         F.expr(
-            "CAST((fit - s * s div n) * 1000000"
-            " div (q - s * s div n) AS BIGINT)"
+            "CAST(CASE WHEN q - s * s div n = 0 THEN 0"
+            " ELSE (fit - s * s div n) * 1000000"
+            " div (q - s * s div n) END AS BIGINT)"
         ).alias("eta2_ppm"),
         F.expr(
             "CAST(CASE WHEN q - fit = 0 OR k <= 1 THEN 0"
@@ -243,8 +246,7 @@ _KS_HI = 1000.0
     "q324_ks_two_sample",
     oracle=f"""
     WITH v AS (
-      SELECT CASE WHEN SUBSTR(MD5(CAST(user_id AS VARCHAR) || ':exp'),
-                              1, 1) < '8' THEN 1 ELSE 0 END AS grp,
+      SELECT {_sql_gate("user_id", ":exp")} AS grp,
              LEAST({_KS_BINS - 1}, GREATEST(0,
                CAST(FLOOR((value - {_KS_LO!r})
                           / {(_KS_HI - _KS_LO) / _KS_BINS!r}) AS INT)))
@@ -304,17 +306,8 @@ def q324_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     from ..operators.sketches import fixed_bin
 
-    grp = F.when(
-        F.substring(
-            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp"))),
-            1,
-            1,
-        )
-        < "8",
-        1,
-    ).otherwise(0)
     v = ev.filter(F.col("value").isNotNull()).select(
-        grp.alias("grp"),
+        _spark_gate("user_id", ":exp").alias("grp"),
         fixed_bin(F.col("value"), _KS_LO, _KS_HI, _KS_BINS).alias("bin"),
     )
     per = v.groupBy("bin").agg(

@@ -103,8 +103,8 @@ def streaming_ams_sums(
     are live unbiased estimates of the stream's self-join size
     Σ f² — the quantity q314 audits against ground truth in batch.
     Complete output mode; counters merge across streams by +."""
-    from ..operators.sketches import ams_sign_rows
+    from ..operators.sketches import ams_sums
 
-    return ams_sign_rows(df, key_col, n_est).groupBy("est").agg(
-        F.sum("sign").alias("s")
-    )
+    # delegate to the batch twin: ONE implementation of the reduction
+    # (groupBy-sum is stream-legal, so the same code serves both)
+    return ams_sums(df, key_col, n_est)

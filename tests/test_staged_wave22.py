@@ -1,8 +1,8 @@
 """Staged wave-22 catalog entries (plans/llm_ops21.py): value-level
 oracle comparison at sf0.001 plus python replays of the varint
 posting-list pricing, the fold-leakage pair matrix, the source
-ablation's set arithmetic, and the retention triangle's week-0
-self-check."""
+ablation's set arithmetic, and the consistent-hash ring successor
+walk."""
 
 from __future__ import annotations
 
