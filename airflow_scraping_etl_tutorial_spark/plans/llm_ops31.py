@@ -114,11 +114,16 @@ def q331_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage lands near nominal (exchangeability holds by the md5
     split).
 
-    Scale: one user aggregate over events; the order statistic
-    ranks CALIBRATION users only (a global window over ~half the
-    users — at 10^9 the exact rank becomes the q267 histogram-
-    guided selection); the 1-row q_hat broadcasts to the test
-    side's conditional count."""
+    Scale: one user aggregate over events; the exact order
+    statistic over CALIBRATION users is the q267 histogram-guided
+    selection — a 256-bin integer-width histogram (one map-side-
+    combined aggregate) locates the single bin containing the
+    target rank, the calibration frame is semi-joined down to that
+    bin (~1/256 slice at uniform scores), and ROW_NUMBER runs
+    partitioned BY BIN, so no unpartitioned window ever sees the
+    per-user frame (the only global window is the 256-row bin
+    cumsum); the 1-row q_hat broadcasts to the test side's
+    conditional count."""
     ev = load(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.expr(
@@ -134,19 +139,63 @@ def q331_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spark_gate("user_id", ":conf").alias("is_cal"),
         F.abs(F.col("actual_micro") - F.col("pred_micro")).alias("score"),
     ).persist()
-    wr = W.orderBy("score", "user_id")
-    wall = W.partitionBy()
-    cal = u.filter(F.col("is_cal") == 1).select(
+    cal = u.filter(F.col("is_cal") == 1).select("score", "user_id")
+    # Integer-width 256-bin histogram over calibration scores; bin is a
+    # monotone function of score, so within-bin (score, user_id) order is
+    # the global order restricted to the bin (q267 doctrine). Width is
+    # pure integer arithmetic ((hi-lo) div 256 + 1 >= 1), so no
+    # divide-by-zero when all scores coincide and no float anywhere.
+    stats = cal.agg(
+        F.min("score").alias("lo"),
+        F.max("score").alias("hi"),
+        F.count(F.lit(1)).alias("n_cal"),
+    ).persist()
+    binned = cal.crossJoin(F.broadcast(stats)).select(
         "score",
-        F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("n_cal"),
+        "user_id",
+        "n_cal",
+        F.expr("(score - lo) div ((hi - lo) div 256 + 1)").alias("bin"),
     )
-    qhat = cal.filter(
-        F.expr(
-            f"rk = LEAST(((n_cal + 1) * (100 - {_ALPHA_PCT}) + 99)"
-            " div 100, n_cal)"
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # The cumsum frame is <= 256 rows (reduced), so the running sum is a
+    # broadcast triangular self-join (<= 256x256 pairs) instead of an
+    # unpartitioned window — zero WindowExec single-partition warnings
+    # anywhere in this plan (a foldable partitionBy(lit) does NOT work:
+    # Catalyst constant-folds it back to an empty partition spec).
+    a, b = hist.alias("a"), hist.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(
+            F.sum("b.cnt").alias("cum"),
+            F.sum(
+                F.when(F.col("b.bin") < F.col("a.bin"), F.col("b.cnt")).otherwise(
+                    0
+                )
+            ).alias("prev_cum"),
         )
-    ).select(F.col("score").alias("q_micro"), "n_cal")
+    )
+    k_expr = (
+        f"LEAST(((n_cal + 1) * (100 - {_ALPHA_PCT}) + 99) div 100, n_cal)"
+    )
+    target = stats.select(F.expr(k_expr).alias("k"))
+    tbin = (
+        target.join(F.broadcast(cum), F.col("cum") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.min("bin").alias("bin"))
+        .join(F.broadcast(cum), "bin")
+        .select("bin", (F.col("k") - F.col("prev_cum")).alias("k_in_bin"))
+    )
+    qhat = (
+        binned.join(F.broadcast(tbin.select("bin")), "bin", "left_semi")
+        .withColumn(
+            "rn_in_bin",
+            F.row_number().over(W.partitionBy("bin").orderBy("score", "user_id")),
+        )
+        .join(F.broadcast(tbin), "bin")
+        .where(F.col("rn_in_bin") == F.col("k_in_bin"))
+        .select(F.col("score").alias("q_micro"), "n_cal")
+    )
     test_ = (
         u.filter(F.col("is_cal") == 0)
         .crossJoin(F.broadcast(qhat))
@@ -171,4 +220,4 @@ def q331_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.caching import tag_intermediates
 
-    return tag_intermediates(out, u)
+    return tag_intermediates(out, u, stats)
