@@ -46,6 +46,27 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops8",  # wave 9, promoted r7
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops9",  # wave 10, promoted r7
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops10",  # wave 11, promoted r7
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops11",  # wave 12, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops12",  # wave 13, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops13",  # wave 14, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops14",  # wave 15, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops15",  # wave 16, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops16",  # wave 17, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops17",  # wave 18, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops18",  # wave 19, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops19",  # wave 20, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops20",  # wave 21, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops21",  # wave 22, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops22",  # wave 23, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops23",  # wave 24, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops24",  # wave 25, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops25",  # wave 26, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops26",  # wave 27, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops27",  # wave 28, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops28",  # wave 29, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops29",  # wave 30, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops30",  # wave 31, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops31",  # wave 32, promoted r8
 )
 
 # Staged waves: implemented, pytest-covered, strict-oracle-green, but
@@ -53,30 +74,9 @@ _QUERY_MODULES = (
 # attestation budget clears (see all_queries()). Tooling (explain
 # audit, catalog lint, staged sweeps) loads them from here so the
 # list cannot drift between consumers. Promotion = move the module
-# name into _QUERY_MODULES above.
-STAGED_MODULES = (
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops11",  # wave 12, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops12",  # wave 13, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops13",  # wave 14, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops14",  # wave 15, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops15",  # wave 16, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops16",  # wave 17, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops17",  # wave 18, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops18",  # wave 19, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops19",  # wave 20, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops20",  # wave 21, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops21",  # wave 22, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops22",  # wave 23, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops23",  # wave 24, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops24",  # wave 25, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops25",  # wave 26, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops26",  # wave 27, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops27",  # wave 28, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops28",  # wave 29, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops29",  # wave 30, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops30",  # wave 31, round 8
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops31",  # wave 32, round 8
-)
+# name into _QUERY_MODULES above. Empty since round 8 promoted
+# waves 12-32; new waves stage here first.
+STAGED_MODULES: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
