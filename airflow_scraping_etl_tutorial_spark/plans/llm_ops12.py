@@ -137,7 +137,9 @@ def q267_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame
     h = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     c = h.select(
         "bin",
+        # global-window-ok: 256-bin histogram cumsum (reduced frame; q267 doctrine)
         F.sum("cnt").over(W.orderBy("bin")).alias("cum"),
+        # global-window-ok: 256-bin histogram cumsum (reduced frame; q267 doctrine)
         (F.sum("cnt").over(W.orderBy("bin")) - F.col("cnt")).alias("prev_cum"),
     ).persist()
     p = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
@@ -425,6 +427,7 @@ def q270_curriculum_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFra
         .distinct()
         .select(
             "source",
+            # global-window-ok: distinct-source grain: tens of rows
             (F.dense_rank().over(W.orderBy("source")) - 1).alias("source_index"),
         )
     )

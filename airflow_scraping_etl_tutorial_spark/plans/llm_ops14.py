@@ -300,6 +300,7 @@ def q281_source_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum); the percentile probe is a 3-row broadcast."""
     docs = load(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # global-window-ok: source-grain: |sources| rows (docstring)
     wr = W.orderBy(F.desc("n"), "source")
     r = s.select(
         "n",

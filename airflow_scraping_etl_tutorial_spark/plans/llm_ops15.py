@@ -110,6 +110,7 @@ def q285_waterfill_token_allocation(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("source")
         .agg(F.sum("_t").cast("bigint").alias("avail"))
     )
+    # global-window-ok: source-grain: frame reduced to |sources| rows (tens)
     wr = W.orderBy("avail", "source")
     r = a.select(
         "source",

@@ -161,6 +161,7 @@ def q290_quantile_stability_bootstrap(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.min("bin").alias("p50_bin"))
     )
     h = base.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # global-window-ok: bin-grain: bounded histogram bins
     wp = W.orderBy("bin")
     point = (
         h.select(

@@ -187,6 +187,7 @@ def q126_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.orderBy(*order_cols)
         .limit(_PQ_CODES)
         .select(
+            # global-window-ok: 64-row PQ codebook sample (after limit)
             (F.row_number().over(W.orderBy(*order_cols)) - 1).alias("code_id"),
             as_double(F.col("embedding")).alias("c_emb"),
         )

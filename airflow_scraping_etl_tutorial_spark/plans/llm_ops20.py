@@ -164,6 +164,7 @@ def q303_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("l"),
     )
+    # global-window-ok: day-grain survival table: |days| rows
     wt = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
     return terms.select(
         F.col("t").cast("int").alias("day"),

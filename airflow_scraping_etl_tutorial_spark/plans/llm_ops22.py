@@ -383,6 +383,7 @@ def q311_greedy_source_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(c2.select(F.lit(2), "source", "gain"))
         .union(c3.select(F.lit(3), "source", "gain"))
     )
+    # global-window-ok: 3-row greedy-pick frame
     wr = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
     out = ranked.select(
         F.col("rank").cast("int"),

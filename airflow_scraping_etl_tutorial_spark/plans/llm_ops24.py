@@ -214,6 +214,7 @@ def q315_join_order_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # global-window-ok: 4-row join-plan frame
     wr = W.orderBy(F.col("j1") + F.col("j2"), "plan")
     return plans.select(
         "plan",

@@ -248,6 +248,7 @@ def q318_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(k_max + 1)
     )
+    # global-window-ok: bounded frame: limit(k_max+1) rows above
     wr = W.orderBy(F.desc("o_totalprice"), "o_orderkey")
     ranked = top.select(
         "o_totalprice", F.row_number().over(wr).alias("rk")
@@ -414,6 +415,7 @@ def q319_follow_leader_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_daily = scored.join(
         F.broadcast(best), scored.arm == F.col("best_arm")
     ).select("day", F.col("rate_ppm").alias("best_rate_ppm"))
+    # global-window-ok: day-grain: frame reduced to |days| rows by the per-day aggregate
     wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     br = F.coalesce("best_rate_ppm", F.lit(0))
     out = (

@@ -199,7 +199,9 @@ def q323_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("purchaser"),
     )
+    # global-window-ok: user-grain rank; 100 TB form = repartitionByRange + per-partition offsets (SCALE.md)
     wr = W.orderBy(F.desc("activity"), "user_id")
+    # global-window-ok: user-grain global count; shares the rank's repartitionByRange scale path (SCALE.md)
     wall = W.partitionBy()
     ranked = u.select(
         "purchaser",
@@ -220,6 +222,7 @@ def q323_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total_p").alias("total_p"),
         )
     )
+    # global-window-ok: decile grain: 10 rows
     wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = per.withColumn("cum_p", F.sum("n_purch").over(wcum))
     return cum.select(
@@ -314,7 +317,9 @@ def q324_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
     )
+    # global-window-ok: bin-grain: bounded histogram bins
     wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # global-window-ok: bin-grain: bounded histogram bins
     wall = W.partitionBy()
     cum = per.select(
         "bin",

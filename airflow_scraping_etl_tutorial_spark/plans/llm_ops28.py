@@ -114,7 +114,9 @@ def q325_mann_whitney_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
     )
+    # global-window-ok: bin-grain: bounded histogram bins
     wlt = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    # global-window-ok: bin-grain: bounded histogram bins
     wall = W.partitionBy()
     cum = per.select(
         "c1",
@@ -312,7 +314,9 @@ def q326_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_ppm")
         )
     )
+    # global-window-ok: event-type grain: a handful of p-value rows
     wr = W.orderBy("p_ppm", "event_type")
+    # global-window-ok: event-type grain: a handful of p-value rows
     wall = W.partitionBy()
     ranked = pvals.select(
         "event_type",

@@ -219,6 +219,7 @@ def q328_jackknife_ratio_dispersion(spark: SparkSession, sf_dir: str) -> DataFra
         "tp",
         "te",
     )
+    # global-window-ok: day-grain jackknife: |days| rows
     wall = W.partitionBy()
     scored = loo.select(
         "r_loo_ppm",

@@ -133,7 +133,9 @@ def q329_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv"),
     )
+    # global-window-ok: user-grain rank; 100 TB form = repartitionByRange + per-partition offsets (SCALE.md)
     wr = W.orderBy(F.desc("activity"), "user_id")
+    # global-window-ok: user-grain global count; shares the rank's repartitionByRange scale path (SCALE.md)
     wall = W.partitionBy()
     ranked = u.select(
         "conv",
@@ -277,7 +279,9 @@ def q330_reliability_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     both_ = pre.join(post, "user_id").select("user_id", "activity", "p", "e")
+    # global-window-ok: user-grain rank; 100 TB form = repartitionByRange + per-partition offsets (SCALE.md)
     wr = W.orderBy(F.desc("activity"), "user_id")
+    # global-window-ok: user-grain global count; shares the rank's repartitionByRange scale path (SCALE.md)
     wall = W.partitionBy()
     ranked = both_.select(
         "p",

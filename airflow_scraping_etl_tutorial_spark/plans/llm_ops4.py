@@ -882,6 +882,7 @@ def q166_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(
             "cnt",
+            # global-window-ok: 100-row frame (applied after limit(100))
             F.row_number().over(W.orderBy(F.desc("cnt"), "tok")).alias("rnk"),
         )
     )
@@ -1527,6 +1528,7 @@ def q176_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     d = orders.select(
         "o_totalprice",
+        # global-window-ok: order-grain ntile; docstring documents the range-partitioned sort trade
         F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey")).alias("decile"),
     )
     return (

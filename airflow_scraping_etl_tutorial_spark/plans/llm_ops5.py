@@ -787,6 +787,7 @@ def q193_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     ranked = freq.select(
+        # global-window-ok: vocab-grain rank; 100 TB form = repartitionByRange + per-partition offsets (SCALE.md)
         "cnt", F.row_number().over(W.orderBy("cnt", "tok")).alias("rnk")
     )
     s = ranked.agg(
@@ -847,6 +848,7 @@ def q194_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of a skyline."""
     orders = load(spark, sf_dir, "orders")
     pp = orders.groupBy("o_totalprice").agg(F.max("o_orderdate").alias("mdate"))
+    # global-window-ok: distinct-price grain (pre-aggregated); docstring documents the sort-based skyline trade
     w = W.orderBy(F.desc("o_totalprice")).rowsBetween(W.unboundedPreceding, -1)
     runs = pp.select(
         "o_totalprice", "mdate", F.max("mdate").over(w).alias("best_prev")
@@ -1654,6 +1656,7 @@ def q203_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         keyed.select(
             F.row_number()
+            # global-window-ok: corpus-grain sample rank; 100 TB form = repartitionByRange + per-partition offsets (SCALE.md)
             .over(W.orderBy(F.desc("es_key"), "doc_id"))
             .alias("sample_rank"),
             "doc_id",

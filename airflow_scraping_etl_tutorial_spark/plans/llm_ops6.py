@@ -753,6 +753,7 @@ def q214_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_t").cast("bigint").alias("tokens"))
     )
     w = (
+        # global-window-ok: source-grain cumsum: |sources| rows
         W.orderBy(F.desc("tokens"), F.asc("source"))
         .rowsBetween(W.unboundedPreceding, 0)
     )

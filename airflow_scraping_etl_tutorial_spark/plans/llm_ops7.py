@@ -714,6 +714,7 @@ def q222_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("week_bucket")
     ).groupBy("week_bucket").agg(F.count(F.lit(1)).alias("n"))
     tot = signed.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+    # global-window-ok: week-bucket grain: frame reduced to tens of rows by the groupBy above
     w = W.orderBy("week_bucket").rowsBetween(W.unboundedPreceding, 0)
     return (
         wk.crossJoin(F.broadcast(tot))
@@ -896,7 +897,9 @@ def q224_token_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cnts.orderBy(
         (F.col("cnt_first") + F.col("cnt_second")).desc(), "tok"
     ).limit(20)
+    # global-window-ok: 20-row frame (applied after limit(20))
     w1 = W.orderBy(F.col("cnt_first").desc(), "tok")
+    # global-window-ok: 20-row frame (applied after limit(20))
     w2 = W.orderBy(F.col("cnt_second").desc(), "tok")
     return (
         top.select(

@@ -479,6 +479,7 @@ def q229_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected = F.when(F.col("digit") == d, F.lit(float(lit))).otherwise(
             expected
         )
+    # global-window-ok: 9-row first-digit frame
     wt = W.partitionBy()
     return c.select(
         "digit",

@@ -518,6 +518,7 @@ def q239_quality_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = tk.select(
         "doc_id", "source", "n", F.expr("(1000000 * d) div n").alias("qk")
     )
+    # global-window-ok: corpus-grain quality cumsum; 100 TB form = two-pass distributed prefix sum (SCALE.md q239)
     w = W.orderBy(F.desc("qk"), "doc_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -861,6 +862,7 @@ def q243_quality_vs_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = tk.select(
         "doc_id",
         F.ntile(10)
+        # global-window-ok: corpus-grain decile ntile; 100 TB form = repartitionByRange + per-partition offsets (SCALE.md)
         .over(W.orderBy(F.desc(F.expr("(1000000 * d) div n")), "doc_id"))
         .cast("int")
         .alias("decile"),
@@ -1049,6 +1051,7 @@ def q245_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm.select(
             "doc_id",
             F.row_number()
+            # global-window-ok: rank over query-term candidate docs, depth-capped downstream; 100 TB form = per-query top-k
             .over(W.orderBy(F.desc("bm25"), "doc_id"))
             .cast("int")
             .alias("lr"),
@@ -1069,6 +1072,7 @@ def q245_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosd.select(
             "doc_id",
             F.row_number()
+            # global-window-ok: rank over query-term candidate docs, depth-capped downstream; 100 TB form = per-query top-k
             .over(W.orderBy(F.desc("c"), "doc_id"))
             .cast("int")
             .alias("dr"),

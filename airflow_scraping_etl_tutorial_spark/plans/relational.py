@@ -506,6 +506,7 @@ def q14_window_lag_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
         .agg(money_sum(F.col("o_totalprice")).alias("revenue"))
     )
+    # global-window-ok: day-grain: reduced to rows-per-day by the groupBy (SCALE.md Windows)
     w = W.orderBy("order_date")
     return (
         daily.withColumn("prev_revenue", F.lag("revenue").over(w))
@@ -542,6 +543,7 @@ def q15_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
         .agg(money_sum(F.col("o_totalprice")).alias("revenue"))
     )
+    # global-window-ok: day-grain: reduced to rows-per-day by the groupBy (SCALE.md Windows)
     w = W.orderBy("order_date").rowsBetween(-6, 0)
     ma7 = F.round(
         F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
@@ -622,6 +624,7 @@ def q17_window_rank_dense_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(money_sum(F.col("s_acctbal")).alias("bal"))
     )
+    # global-window-ok: nation-grain: 25 rows
     w = W.orderBy(F.desc("bal"), F.asc("nationkey"))
     return (
         nat.select(

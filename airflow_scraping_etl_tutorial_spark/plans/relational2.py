@@ -292,6 +292,7 @@ def q45_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("o_totalprice")).alias("revenue")
     )
     daily = daily.withColumn("d_epoch", F.datediff("d", F.lit("1970-01-01").cast("date")))
+    # global-window-ok: day-grain: reduced to rows-per-day by the groupBy (SCALE.md Windows)
     w = W.orderBy("d_epoch").rangeBetween(-6, 0)
     return (
         daily.select(

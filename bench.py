@@ -50,6 +50,19 @@ HEADLINE = (
     "q80_events_hourly_tumbling",
     "q82_events_sessionization",
     "q84_asof_join_purchase_signup",
+    # Post-wave-3 family representatives, added round 8 (the legacy 21
+    # entries above are unchanged so r05-era totals stay comparable —
+    # compare new-entry timings against their own first measurement,
+    # BENCH_r08):
+    "q154_semdedup_semantic_dedup",  # embedding-cluster near-dedup
+    "q226_dup_graph_pagerank",  # fixed-point iterative graph centrality
+    "q235_bm25_retrieval",  # lexical retrieval scoring
+    "q247_ohlc_daily_candles",  # min_by/max_by time-series rollup
+    "q250_connected_components_minlabel",  # min-label CC rounds
+    "q288_dictionary_encoding_benefit",  # physical-layout audit
+    "q296_ab_chisquare_conversion",  # exact-rational statistical test
+    "q312_zorder_skipping_benefit",  # zone-map skipping audit
+    "q331_conformal_coverage",  # histogram-guided order statistic
 )
 
 

@@ -206,8 +206,33 @@ AUDITED = (
 )
 
 
+def _count_global_windows(plan: str) -> int:
+    """Window nodes with an EMPTY partition spec in the final plan.
+
+    A physical Window line prints `Window [funcs], [part], [sort]`
+    (two `], [` separators) when partitioned and `Window [funcs],
+    [sort]` (one) when not — the unpartitioned form serializes its
+    whole input frame onto a single task.
+    """
+    return sum(
+        1
+        for line in plan.splitlines()
+        if re.search(r"\bWindow \[", line) and line.count("], [") < 2
+    )
+
+
+# Audited queries whose FINAL PLAN legitimately contains unpartitioned
+# Window nodes, with the one-line frame-size justification (the source
+# sites themselves carry `# global-window-ok:` annotations enforced by
+# tests/test_plan_properties.py; this dict is the plan-level mirror so
+# PLANS.md lists zero unexplained global windows). main() exits
+# non-zero if an audited plan has one that is not justified here.
+GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {}
+
+
 def audit_plan(plan: str) -> dict:
     return {
+        "global_windows": _count_global_windows(plan),
         "exchanges": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
         "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
         # >0 means a persisted intermediate serves multiple consumers:
@@ -247,6 +272,7 @@ def main() -> None:
     )
     specs = all_queries()
 
+    unexplained: list[str] = []
     lines = [
         "# PLANS — physical-plan audit of the headline queries",
         "",
@@ -281,10 +307,24 @@ def main() -> None:
             lines.append(f"- scan reads only: `{', '.join(cols)}`")
         for pf in a["pushed"]:
             lines.append(f"- pushed filters: `{pf[:120]}`")
+        if a["global_windows"]:
+            reason = GLOBAL_WINDOW_JUSTIFIED.get(name)
+            if reason is None:
+                unexplained.append(name)
+                reason = "UNEXPLAINED — justify in GLOBAL_WINDOW_JUSTIFIED"
+            lines.append(
+                f"- unpartitioned windows: **{a['global_windows']}** — {reason}"
+            )
         lines.append("")
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write("\n".join(lines))
     print(f"PLANS.md written ({len(AUDITED)} queries audited)")
+    if unexplained:
+        print(
+            "UNEXPLAINED global windows (add a justification or "
+            f"partition the window): {unexplained}"
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
