@@ -1072,7 +1072,7 @@ def q245_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosd.select(
             "doc_id",
             F.row_number()
-            # global-window-ok: rank over query-term candidate docs, depth-capped downstream; 100 TB form = per-query top-k
+            # global-window-ok: corpus-grain dense rank, depth-capped downstream; 100 TB form = per-query top-k (TakeOrdered)
             .over(W.orderBy(F.desc("c"), "doc_id"))
             .cast("int")
             .alias("dr"),

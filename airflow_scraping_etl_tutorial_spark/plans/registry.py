@@ -74,9 +74,10 @@ _QUERY_MODULES = (
 # attestation budget clears (see all_queries()). Tooling (explain
 # audit, catalog lint, staged sweeps) loads them from here so the
 # list cannot drift between consumers. Promotion = move the module
-# name into _QUERY_MODULES above. Empty since round 8 promoted
-# waves 12-32; new waves stage here first.
-STAGED_MODULES: tuple[str, ...] = ()
+# name into _QUERY_MODULES above.
+STAGED_MODULES: tuple[str, ...] = (
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops32",  # wave 33, round 9
+)
 
 
 @dataclass(frozen=True)

@@ -203,22 +203,56 @@ AUDITED = (
     "q330_reliability_ece",
     # staged wave 32 (plans/llm_ops31.py)
     "q331_conformal_coverage",
+    # staged wave 33 (plans/llm_ops32.py)
+    "q332_retrieval_ndcg_audit",
+    "q333_retrieval_precision_recall",
+    "q334_rank_correlation_kendall",
+    "q335_t_closeness_audit",
+    "q336_dp_histogram_utility",
 )
 
 
 def _count_global_windows(plan: str) -> int:
-    """Window nodes with an EMPTY partition spec in the final plan.
+    """Window nodes with an EMPTY partition spec in the final plan —
+    the form that serializes its whole input frame onto a single task.
 
-    A physical Window line prints `Window [funcs], [part], [sort]`
-    (two `], [` separators) when partitioned and `Window [funcs],
-    [sort]` (one) when not — the unpartitioned form serializes its
-    whole input frame onto a single task.
+    Each window function prints `windowspecdefinition(part..., sort...
+    ASC/DESC..., specifiedwindowframe(...))`: partition expressions
+    come first WITHOUT an ASC/DESC marker, sort expressions carry one.
+    A spec is unpartitioned iff every top-level argument before the
+    frame is a sort expression (or there are none at all, e.g. a
+    global count over an unordered unbounded frame).
     """
-    return sum(
-        1
-        for line in plan.splitlines()
-        if re.search(r"\bWindow \[", line) and line.count("], [") < 2
-    )
+
+    def args_before_frame(spec: str) -> list[str]:
+        depth = 0
+        out, cur = [], []
+        for ch in spec:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur).strip())
+        return [a for a in out if not a.startswith("specifiedwindowframe")]
+
+    n = 0
+    for line in plan.splitlines():
+        if not re.search(r"\bWindow \[", line):
+            continue
+        for m in re.finditer(r"windowspecdefinition\(", line):
+            args = args_before_frame(line[m.end() :])
+            if all(" ASC" in a or " DESC" in a for a in args):
+                n += 1
+                break  # count the node once, not per window function
+    return n
 
 
 # Audited queries whose FINAL PLAN legitimately contains unpartitioned
@@ -227,7 +261,63 @@ def _count_global_windows(plan: str) -> int:
 # tests/test_plan_properties.py; this dict is the plan-level mirror so
 # PLANS.md lists zero unexplained global windows). main() exits
 # non-zero if an audited plan has one that is not justified here.
-GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {}
+GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {
+    "q166_zipf_slope": "100-row frame (rank applied after limit(100))",
+    "q193_token_gini": (
+        "vocab-grain rank; 100 TB form = repartitionByRange + "
+        "per-partition offsets (SCALE.md)"
+    ),
+    "q214_token_budget_cut": "source-grain cumsum: |sources| rows",
+    "q239_quality_budget_packing": (
+        "corpus-grain quality cumsum; 100 TB form = two-pass "
+        "distributed prefix sum (SCALE.md q239)"
+    ),
+    "q245_rrf_hybrid_retrieval": (
+        "candidate/corpus rank, depth-capped to 100; 100 TB form = "
+        "per-query top-k (TakeOrdered)"
+    ),
+    "q267_histogram_quantile_error": "256-bin histogram cumsum (reduced frame)",
+    "q270_curriculum_interleave_plan": "distinct-source dense_rank: tens of rows",
+    "q281_source_coverage_curve": "source-grain rank: |sources| rows",
+    "q285_waterfill_token_allocation": "source-grain rank: |sources| rows",
+    "q290_quantile_stability_bootstrap": (
+        "256-bin histogram cumsum (reduced frame; q267 doctrine)"
+    ),
+    "q303_kaplan_meier_conversion": "day-grain survival cumsum: |days| rows",
+    "q311_greedy_source_selection": "3-row greedy-pick frame",
+    "q315_join_order_cost_audit": "4-row join-plan frame",
+    "q318_hill_tail_index": "bounded frame: rank after limit(k_max+1)",
+    "q319_follow_leader_regret": (
+        "bounded: rank after limit(k_max+1) + day-grain regret cumsum"
+    ),
+    "q323_gains_curve": (
+        "user-grain rank + 10-row decile cumsum; 100 TB form = "
+        "repartitionByRange + per-partition offsets (SCALE.md)"
+    ),
+    "q324_ks_two_sample": "bin-grain cumsum: bounded histogram bins",
+    "q325_mann_whitney_binned": "bin-grain cumsum: bounded histogram bins",
+    "q326_bh_fdr_control": "event-type-grain p-value rank: a handful of rows",
+    "q328_jackknife_ratio_dispersion": "day-grain leave-one-out sums: |days| rows",
+    "q329_isotonic_calibration": (
+        "user-grain rank; 100 TB form = repartitionByRange + "
+        "per-partition offsets (SCALE.md)"
+    ),
+    "q330_reliability_ece": (
+        "user-grain rank; 100 TB form = repartitionByRange + "
+        "per-partition offsets (SCALE.md)"
+    ),
+    "q332_retrieval_ndcg_audit": (
+        "query-term candidate rank, top-20 consumed; 100 TB form = "
+        "per-query top-k"
+    ),
+    "q333_retrieval_precision_recall": (
+        "query-term candidate rank; 100 TB form = per-query top-k"
+    ),
+    "q334_rank_correlation_kendall": (
+        "query-term candidate rank + 20-row length rank after the "
+        "top-20 filter"
+    ),
+}
 
 
 def audit_plan(plan: str) -> dict:
