@@ -209,6 +209,12 @@ AUDITED = (
     "q334_rank_correlation_kendall",
     "q335_t_closeness_audit",
     "q336_dp_histogram_utility",
+    # staged wave 34 (plans/llm_ops33.py)
+    "q337_dup_graph_triangles",
+    "q338_stupid_backoff_scoring",
+    "q339_weighted_sample_aes",
+    "q340_compaction_plan_audit",
+    "q341_tfidf_source_keywords",
 )
 
 
@@ -316,6 +322,14 @@ GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {
     "q334_rank_correlation_kendall": (
         "query-term candidate rank + 20-row length rank after the "
         "top-20 filter"
+    ),
+    "q339_weighted_sample_aes": (
+        "corpus-grain sample-key rank, top-50 consumed; 100 TB form = "
+        "TakeOrdered top-k on the key"
+    ),
+    "q340_compaction_plan_audit": (
+        "day-grain file frame (bounded rows/year); metadata-scale form "
+        "= two-pass prefix sum"
     ),
 }
 
