@@ -364,11 +364,10 @@ def q338_stupid_backoff_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WRS_K = 50
 
-
-@query(
-    "q339_weighted_sample_aes",
-    oracle=f"""
-    WITH w AS (
+# Shared A-ES key derivation (q339 sample + q345's merge proof): one
+# md5 uniform per doc, ln quantized to DECIMAL(18,6), selection key =
+# lnu / weight as an identically-associated double on both engines.
+_SQL_WRS_KEYED = f"""w AS (
       SELECT doc_id,
              CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS weight,
              {_sql_hex60("MD5(CAST(doc_id AS VARCHAR) || ':wrs')", 1)} AS h
@@ -379,7 +378,36 @@ _WRS_K = 50
              CAST(LN((CAST(h % 1000000 AS DOUBLE) + CAST('1' AS DOUBLE))
                      / CAST('1000000' AS DOUBLE)) AS DECIMAL(18,6)) AS lnu
       FROM w
-    ),
+    )"""
+
+
+def _wrs_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_WRS_KEYED: (doc_id, weight, lnu)."""
+    from ..operators.dedup import _hex60
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("weight"),
+        _hex60(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))), 1)
+        .alias("h"),
+    )
+    return w.select(
+        "doc_id",
+        "weight",
+        F.log(
+            ((F.col("h") % 1_000_000).cast("double") + F.lit(1.0))
+            / F.lit(1_000_000.0)
+        )
+        .cast("decimal(18,6)")
+        .alias("lnu"),
+    )
+
+
+@query(
+    "q339_weighted_sample_aes",
+    oracle=f"""
+    WITH {_SQL_WRS_KEYED},
     ranked AS (
       SELECT doc_id, weight, lnu,
              ROW_NUMBER() OVER (
@@ -409,25 +437,7 @@ def q339_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fine grid is safe), and the division by the integer weight
     is a single identically-associated IEEE op on both engines;
     doc_id breaks ties."""
-    docs = load(spark, sf_dir, "documents")
-    from ..operators.dedup import _hex60
-
-    w = docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("bigint").alias("weight"),
-        _hex60(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))), 1)
-        .alias("h"),
-    )
-    keyed = w.select(
-        "doc_id",
-        "weight",
-        F.log(
-            ((F.col("h") % 1_000_000).cast("double") + F.lit(1.0))
-            / F.lit(1_000_000.0)
-        )
-        .cast("decimal(18,6)")
-        .alias("lnu"),
-    )
+    keyed = _wrs_keyed(spark, sf_dir)
     key = F.col("lnu").cast("double") / F.col("weight").cast("double")
     ranked = keyed.select(
         "doc_id",

@@ -1,0 +1,150 @@
+"""Staged wave-35 catalog entries (plans/llm_ops34.py): value-level
+oracle comparison at sf0.001 plus python replays of the reciprocal
+best-match scoring and the Neyman weight arithmetic, and the
+structural invariants (the IVM identity holding BY CONSTRUCTION only
+if the four terms really tile the join, merge-exactness of the
+distributed sample, reciprocity of the reported links)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from airflow_scraping_etl_tutorial_spark.plans import llm_ops34  # noqa: F401  (registers)
+from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+
+from staged_oracle import assert_matches_oracle, duck_views
+
+SF_DIR = "/root/testdata/sf0.001"
+
+STAGED = [
+    "q342_reciprocal_best_match",
+    "q343_join_ivm_delta_audit",
+    "q344_neyman_allocation",
+    "q345_weighted_sample_merge_proof",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_views(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_query_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, _REGISTRY[name], SF_DIR)
+
+
+def test_staged_wave35_not_registered_in_driver_contract(monkeypatch):
+    """Wave 35 stays staged until round 9 (round 8's driver budget is
+    claimed by the wave-12-32 promotion). Attestation-invariant form."""
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
+    from airflow_scraping_etl_tutorial_spark.plans.registry import (
+        _QUERY_MODULES,
+        STAGED_MODULES,
+        all_queries,
+    )
+
+    assert "llm_ops34" not in ",".join(_QUERY_MODULES)
+    assert any(m.endswith("llm_ops34") for m in STAGED_MODULES)
+    assert not set(all_queries()) & set(STAGED)
+
+
+# ---------------------------------------------------------------------------
+# Structural invariants and python replays
+# ---------------------------------------------------------------------------
+
+
+def test_reciprocal_links_python_replay(spark, duck):
+    """Recompute blocked Jaccard best matches in python and assert
+    every reported link is reciprocal under the same tiebreaks."""
+    rows = duck.sql(
+        "SELECT p_partkey, STRING_SPLIT(p_name, ' ') FROM part"
+    ).fetchall()
+    left = {k: set(w) for k, w in rows if k % 2 == 0}
+    right = {k: set(w) for k, w in rows if k % 2 == 1}
+    first = {k: w[0] for k, w in rows}
+
+    def jac(a, b):
+        i = len(left[a] & right[b])
+        return i * 1_000_000 // (len(left[a]) + len(right[b]) - i)
+
+    cands = [
+        (a, b)
+        for a in left
+        for b in right
+        if first[a] == first[b] and left[a] & right[b]
+    ]
+    best_l: dict[int, tuple] = {}
+    best_r: dict[int, tuple] = {}
+    for a, b in cands:
+        j = jac(a, b)
+        if a not in best_l or (-j, b) < (-best_l[a][0], best_l[a][1]):
+            best_l[a] = (j, b)
+        if b not in best_r or (-j, a) < (-best_r[b][0], best_r[b][1]):
+            best_r[b] = (j, a)
+    out = _REGISTRY["q342_reciprocal_best_match"].fn(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert best_l[r.part_a][1] == r.part_b
+        assert best_r[r.part_b][1] == r.part_a
+        assert r.jac_ppm == jac(r.part_a, r.part_b)
+        assert r.union_sz >= r.inter > 0
+
+
+def test_ivm_identity_holds(spark):
+    (r,) = _REGISTRY["q343_join_ivm_delta_audit"].fn(spark, SF_DIR).collect()
+    assert r.ivm_identity_ok == 1
+    assert (
+        r.n_old_old + r.n_delta_fact + r.n_delta_dim + r.n_delta_both
+        == r.n_full
+    )
+    # both delta sides must be non-trivial for the audit to mean anything
+    assert r.n_delta_fact > 0 and r.n_delta_dim > 0
+
+
+def test_neyman_weights_python_replay(spark, duck):
+    """sqrt(N*S2 - S1^2) quantized to micro units, per stratum."""
+    moments = duck.sql(
+        """
+        SELECT source, COUNT(*), SUM(y), SUM(y*y) FROM (
+          SELECT source, LEN(STRING_SPLIT(text, ' ')) AS y FROM documents
+        ) GROUP BY source
+        """
+    ).fetchall()
+    import decimal
+
+    expect = {}
+    for source, n, s1, s2 in moments:
+        w = math.sqrt(float(n * s2 - s1 * s1))
+        expect[source] = (
+            n,
+            int(decimal.Decimal(w).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            ) * 1_000_000),
+        )
+    rows = _REGISTRY["q344_neyman_allocation"].fn(spark, SF_DIR).collect()
+    assert {r.source for r in rows} == set(expect)
+    budget_n = sum(r.neyman_n for r in rows)
+    budget_p = sum(r.prop_n for r in rows)
+    for r in rows:
+        n, w_micro = expect[r.source]
+        assert r.n_docs == n
+        assert r.neyman_weight_micro == w_micro
+    # truncating division loses at most one unit per stratum
+    assert 1000 - len(rows) <= budget_n <= 1000
+    assert 1000 - len(rows) <= budget_p <= 1000
+
+
+def test_weighted_sample_merge_is_exact(spark):
+    (r,) = (
+        _REGISTRY["q345_weighted_sample_merge_proof"].fn(spark, SF_DIR).collect()
+    )
+    assert r.merge_exact == 1
+    assert r.n_agree == r.k == 50
+    assert r.n_parts == 4
+    assert r.n_agree <= r.n_candidates <= r.n_parts * r.k

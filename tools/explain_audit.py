@@ -215,6 +215,11 @@ AUDITED = (
     "q339_weighted_sample_aes",
     "q340_compaction_plan_audit",
     "q341_tfidf_source_keywords",
+    # staged wave 35 (plans/llm_ops34.py)
+    "q342_reciprocal_best_match",
+    "q343_join_ivm_delta_audit",
+    "q344_neyman_allocation",
+    "q345_weighted_sample_merge_proof",
 )
 
 
@@ -330,6 +335,10 @@ GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {
     "q340_compaction_plan_audit": (
         "day-grain file frame (bounded rows/year); metadata-scale form "
         "= two-pass prefix sum"
+    ),
+    "q345_weighted_sample_merge_proof": (
+        "the audited q339 global rank (top-50 consumed) + the 200-row "
+        "merged-candidate rank; 100 TB form = TakeOrdered"
     ),
 }
 
