@@ -79,6 +79,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops32",  # wave 33, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops33",  # wave 34, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops34",  # wave 35, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops35",  # wave 36, round 9
 )
 
 

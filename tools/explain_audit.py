@@ -220,6 +220,10 @@ AUDITED = (
     "q343_join_ivm_delta_audit",
     "q344_neyman_allocation",
     "q345_weighted_sample_merge_proof",
+    # staged wave 36 (plans/llm_ops35.py)
+    "q346_langid_confusion_audit",
+    "q347_markov_next_event_accuracy",
+    "q348_session_likelihood_outliers",
 )
 
 
