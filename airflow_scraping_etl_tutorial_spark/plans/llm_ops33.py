@@ -590,11 +590,16 @@ def q340_compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
       FROM tok GROUP BY source, tok
     ),
+    idf6 AS (
+      SELECT d.tok,
+             CAST(LN(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE))
+                  AS DECIMAL(18,6)) AS idf6
+      FROM dfx d CROSS JOIN n
+    ),
     scored AS (
       SELECT t.source, t.tok, t.tf,
-             CAST(CAST(LN(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE))
-                       AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS idf_micro
-      FROM tf t JOIN dfx d ON d.tok = t.tok CROSS JOIN n
+             CAST(i.idf6 * 1000000 AS BIGINT) AS idf_micro
+      FROM tf t JOIN idf6 i ON i.tok = t.tok
     ),
     ranked AS (
       SELECT source, tok, tf, idf_micro,

@@ -11,10 +11,11 @@ design, and the distributed-merge proof for weighted sampling:
   d(A JOIN C) = dA*C_old + A_old*dC + dA*dC verified as an exact
   count identity on an order-fact delta x late-arriving customer-
   dimension delta.
-- q344: Neyman (optimal) allocation for stratified sampling over
-  sources — per-stratum allocation proportional to N_h*S_h, where
-  N_h*S_h collapses to sqrt(n_h*sum(y^2) - sum(y)^2) on exact
-  integer moments, vs proportional allocation.
+- q344: the design-effect number for stratified sampling over
+  sources — the Neyman-to-proportional estimator-variance ratio
+  (sum sqrt(SS_h))^2 / (N * sum SS_h/n_h) on exact integer moments
+  (the companion to q187's per-stratum allocation: q187 allocates,
+  this prices what the optimal design is worth).
 - q345: merge proof for the q339 A-ES weighted sample — per-part
   top-k of 4 disjoint parts, merged and re-topped, must equal the
   global top-k EXACTLY (the property that makes the sampler
@@ -315,15 +316,14 @@ def q343_join_ivm_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q344 — Neyman allocation for stratified sampling over sources
+# q344 — design effect of Neyman vs proportional allocation
 # ---------------------------------------------------------------------------
 
-_SAMPLE_BUDGET = 1000
 
 
 @query(
-    "q344_neyman_allocation",
-    oracle=f"""
+    "q344_allocation_design_effect",
+    oracle="""
     WITH y AS (
       SELECT source,
              CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS y
@@ -337,43 +337,54 @@ _SAMPLE_BUDGET = 1000
       FROM y GROUP BY source
     ),
     wgt AS (
-      SELECT source, n_h,
+      SELECT n_h,
              CAST(CAST(SQRT(CAST(n_h * s2 - s1 * s1 AS DOUBLE))
-                       AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS w_micro
+                       AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS w_micro,
+             CAST(n_h * s2 - s1 * s1 AS HUGEINT) * 1000000000000 // n_h
+               AS ss_over_n
       FROM m
     ),
     tot AS (
-      SELECT CAST(SUM(w_micro) AS BIGINT) AS wt,
-             CAST(SUM(n_h) AS BIGINT) AS nt
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(n_h) AS BIGINT) AS n_docs,
+             CAST(SUM(w_micro) AS HUGEINT) AS sw,
+             CAST(SUM(ss_over_n) AS HUGEINT) AS sv
       FROM wgt
     )
-    SELECT w.source,
-           w.n_h AS n_docs,
-           w.w_micro AS neyman_weight_micro,
-           CAST(w.w_micro * 1000000 // t.wt AS BIGINT) AS neyman_share_ppm,
-           CAST(w.w_micro * {_SAMPLE_BUDGET} // t.wt AS BIGINT) AS neyman_n,
-           CAST(w.n_h * 1000000 // t.nt AS BIGINT) AS prop_share_ppm,
-           CAST(w.n_h * {_SAMPLE_BUDGET} // t.nt AS BIGINT) AS prop_n
-    FROM wgt w CROSS JOIN tot t
-    ORDER BY source
+    SELECT n_strata,
+           n_docs,
+           CAST(sw AS BIGINT) AS sum_weight_micro,
+           CAST(sw * sw * 1000000 // (n_docs * sv) AS BIGINT)
+             AS design_effect_ppm,
+           CAST(1000000 - sw * sw * 1000000 // (n_docs * sv) AS BIGINT)
+             AS variance_saved_ppm
+    FROM tot
     """,
-    tags=("llm", "sampling", "stratified", "design"),
+    tags=("llm", "sampling", "stratified", "design-effect"),
 )
-def q344_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Neyman (optimal) allocation of a {_SAMPLE_BUDGET}-doc
-    stratified sample over sources, with document token count as the
-    survey variable: the optimal stratum share is proportional to
-    N_h * S_h, and with the population sd S_h = sqrt(SS_h)/N_h the
-    weight collapses to sqrt(SS_h) where SS_h = N_h*sum(y^2) -
-    (sum y)^2 — EXACT integer moments, one IEEE sqrt per stratum
-    (correctly rounded, hence bit-identical on both engines — the
-    q238 precedent), quantized to micro units before the exact
-    integer share division. Reported beside proportional allocation:
-    the gap is the variance a naive sampler leaves on the table by
-    ignoring that some feeds are wildly more variable than others.
+def q344_allocation_design_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Design-effect audit for stratified sampling over sources (the
+    companion NUMBER to q187's per-stratum Neyman allocation, which
+    allocates but never says what the better design is worth): with
+    token count as the survey variable, the Neyman-to-proportional
+    estimator-variance ratio collapses to
+
+        deff = (sum_h sqrt(SS_h))^2 / (N * sum_h SS_h/n_h),
+
+    SS_h = n_h*sum(y^2) - (sum y)^2 — exact integer moments, one IEEE
+    sqrt per stratum quantized to micro units, and the Cauchy-Schwarz
+    inequality guarantees deff <= 1: variance_saved_ppm is exactly
+    the fraction of estimator variance (equivalently, sample budget)
+    the optimal allocation saves over proportional. Both sums run in
+    exact wide-integer arithmetic (HUGEINT in the oracle, the
+    DECIMAL(38,0) lane in Spark — the q327 Cov^2 doctrine; the
+    squared micro-weight sum reaches ~1e28 at sf0.1) with truncating
+    integer division only at the final ppm.
 
     Scale: one map-side-combined moment aggregate per stratum (the
-    q275 mergeable-moments shape), then source-cardinality-bounded
+    q275 mergeable-moments shape), then strata-cardinality-bounded
     arithmetic. No window at all."""
     y = load(spark, sf_dir, "documents").select(
         "source",
@@ -384,46 +395,34 @@ def q344_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("s1"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
     )
+    ss = F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1")
     wgt = m.select(
-        "source",
         "n_h",
-        (
-            F.sqrt(
-                (F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
-                    "double"
-                )
-            ).cast("decimal(18,6)")
-            * 1_000_000
-        )
+        (F.sqrt(ss.cast("double")).cast("decimal(18,6)") * 1_000_000)
         .cast("bigint")
         .alias("w_micro"),
+        F.expr(
+            "CAST(n_h * s2 - s1 * s1 AS DECIMAL(38,0)) * 1000000000000"
+            " div n_h"
+        ).alias("ss_over_n"),
     )
     tot = wgt.agg(
-        F.sum("w_micro").cast("bigint").alias("wt"),
-        F.sum("n_h").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("n_h").cast("bigint").alias("n_docs"),
+        F.sum("w_micro").cast("decimal(38,0)").alias("sw"),
+        F.sum("ss_over_n").cast("decimal(38,0)").alias("sv"),
     )
-    out = (
-        wgt.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            F.col("n_h").alias("n_docs"),
-            F.col("w_micro").alias("neyman_weight_micro"),
-            F.expr("CAST(w_micro * 1000000 div wt AS BIGINT)").alias(
-                "neyman_share_ppm"
-            ),
-            F.expr(
-                f"CAST(w_micro * {_SAMPLE_BUDGET} div wt AS BIGINT)"
-            ).alias("neyman_n"),
-            F.expr("CAST(n_h * 1000000 div nt AS BIGINT)").alias(
-                "prop_share_ppm"
-            ),
-            F.expr(f"CAST(n_h * {_SAMPLE_BUDGET} div nt AS BIGINT)").alias(
-                "prop_n"
-            ),
-        )
-        .orderBy("source")
+    return tot.select(
+        "n_strata",
+        "n_docs",
+        F.col("sw").cast("bigint").alias("sum_weight_micro"),
+        F.expr(
+            "CAST(sw * sw * 1000000 div (n_docs * sv) AS BIGINT)"
+        ).alias("design_effect_ppm"),
+        F.expr(
+            "CAST(1000000 - sw * sw * 1000000 div (n_docs * sv) AS BIGINT)"
+        ).alias("variance_saved_ppm"),
     )
-    return out
 
 
 # ---------------------------------------------------------------------------

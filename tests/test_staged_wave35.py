@@ -21,7 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 STAGED = [
     "q342_reciprocal_best_match",
     "q343_join_ivm_delta_audit",
-    "q344_neyman_allocation",
+    "q344_allocation_design_effect",
     "q345_weighted_sample_merge_proof",
 ]
 
@@ -106,8 +106,9 @@ def test_ivm_identity_holds(spark):
     assert r.n_delta_fact > 0 and r.n_delta_dim > 0
 
 
-def test_neyman_weights_python_replay(spark, duck):
-    """sqrt(N*S2 - S1^2) quantized to micro units, per stratum."""
+def test_design_effect_python_replay(spark, duck):
+    """Replay the exact integer design-effect arithmetic and check
+    the Cauchy-Schwarz bound deff <= 1 (Neyman can never be worse)."""
     moments = duck.sql(
         """
         SELECT source, COUNT(*), SUM(y), SUM(y*y) FROM (
@@ -117,27 +118,28 @@ def test_neyman_weights_python_replay(spark, duck):
     ).fetchall()
     import decimal
 
-    expect = {}
-    for source, n, s1, s2 in moments:
-        w = math.sqrt(float(n * s2 - s1 * s1))
-        expect[source] = (
-            n,
-            int(decimal.Decimal(w).quantize(
+    sw = sv = n_docs = 0
+    for _, n, s1, s2 in moments:
+        ss = n * s2 - s1 * s1
+        w = math.sqrt(float(ss))
+        sw += int(
+            decimal.Decimal(w).quantize(
                 decimal.Decimal("0.000001"),
                 rounding=decimal.ROUND_HALF_UP,
-            ) * 1_000_000),
+            )
+            * 1_000_000
         )
-    rows = _REGISTRY["q344_neyman_allocation"].fn(spark, SF_DIR).collect()
-    assert {r.source for r in rows} == set(expect)
-    budget_n = sum(r.neyman_n for r in rows)
-    budget_p = sum(r.prop_n for r in rows)
-    for r in rows:
-        n, w_micro = expect[r.source]
-        assert r.n_docs == n
-        assert r.neyman_weight_micro == w_micro
-    # truncating division loses at most one unit per stratum
-    assert 1000 - len(rows) <= budget_n <= 1000
-    assert 1000 - len(rows) <= budget_p <= 1000
+        sv += ss * 1_000_000_000_000 // n
+        n_docs += n
+    deff = sw * sw * 1_000_000 // (n_docs * sv)
+    (r,) = (
+        _REGISTRY["q344_allocation_design_effect"].fn(spark, SF_DIR).collect()
+    )
+    assert r.n_strata == len(moments)
+    assert (r.n_docs, r.sum_weight_micro) == (n_docs, sw)
+    assert r.design_effect_ppm == deff
+    assert 0 < r.design_effect_ppm <= 1_000_000  # Cauchy-Schwarz
+    assert r.variance_saved_ppm == 1_000_000 - r.design_effect_ppm
 
 
 def test_weighted_sample_merge_is_exact(spark):

@@ -218,7 +218,7 @@ AUDITED = (
     # staged wave 35 (plans/llm_ops34.py)
     "q342_reciprocal_best_match",
     "q343_join_ivm_delta_audit",
-    "q344_neyman_allocation",
+    "q344_allocation_design_effect",
     "q345_weighted_sample_merge_proof",
     # staged wave 36 (plans/llm_ops35.py)
     "q346_langid_confusion_audit",
