@@ -80,6 +80,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops33",  # wave 34, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops34",  # wave 35, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops35",  # wave 36, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops36",  # wave 37, round 9
 )
 
 

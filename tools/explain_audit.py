@@ -224,6 +224,10 @@ AUDITED = (
     "q346_langid_confusion_audit",
     "q347_markov_next_event_accuracy",
     "q348_session_likelihood_outliers",
+    # staged wave 37 (plans/llm_ops36.py)
+    "q349_randomized_response_debias",
+    "q350_bitpacking_benefit",
+    "q351_windowed_funnel_sweep",
 )
 
 
