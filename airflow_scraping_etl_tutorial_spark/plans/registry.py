@@ -81,6 +81,8 @@ STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops34",  # wave 35, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops35",  # wave 36, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops36",  # wave 37, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops37",  # wave 38, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops38",  # wave 39, round 9
 )
 
 

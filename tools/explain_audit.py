@@ -228,6 +228,16 @@ AUDITED = (
     "q349_randomized_response_debias",
     "q350_bitpacking_benefit",
     "q351_windowed_funnel_sweep",
+    # staged wave 38 (plans/llm_ops37.py)
+    "q352_horvitz_thompson_total",
+    "q353_rater_agreement_kappa",
+    "q354_runs_test_assignment",
+    "q355_novel_ngram_rate",
+    "q356_temperature_source_mixture",
+    # staged wave 39 (plans/llm_ops38.py)
+    "q357_data_scaling_curve",
+    "q358_mcnemar_classifier_test",
+    "q359_embedding_decontamination",
 )
 
 
@@ -347,6 +357,13 @@ GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {
     "q345_weighted_sample_merge_proof": (
         "the audited q339 global rank (top-50 consumed) + the 200-row "
         "merged-candidate rank; 100 TB form = TakeOrdered"
+    ),
+    "q349_randomized_response_debias": (
+        "distinct-event-type index rank: a handful of rows"
+    ),
+    "q354_runs_test_assignment": (
+        "day-grain boundary-stitch lag: |days| rows after the per-day "
+        "rollup (the heavy lag is day-partitioned)"
     ),
 }
 
