@@ -18,8 +18,13 @@ the same contract maintained incrementally.
 
 from __future__ import annotations
 
+import json
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.sketches import hll_bucket_rho
 
@@ -108,3 +113,73 @@ def streaming_ams_sums(
     # delegate to the batch twin: ONE implementation of the reduction
     # (groupBy-sum is stream-legal, so the same code serves both)
     return ams_sums(df, key_col, n_est)
+
+
+def streaming_weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "skey",
+    k: int = 50,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Running Efraimidis-Spirakis weighted sample over a streaming
+    (id, selection-key) column pair — the SIXTH mergeable-state shape
+    (HLL merges by MAX, count-min/histogram/AMS by +, Bloom by OR;
+    a bounded top-k set merges by union-then-top-k, which q345
+    proves as data on the batch side). The caller derives the A-ES
+    selection key ln(u)/w deterministically (q339's md5 construction)
+    so the sample is a pure function of the items seen — any drain
+    point yields exactly the batch sample of the ingested prefix.
+
+    Top-k is not a built-in streaming aggregate, so this is the
+    applyInPandasWithState escape hatch: ids are hash-sharded into
+    n_shards state keys, each holding AT MOST k rows (a JSON-encoded
+    (id, key) list — constant memory per shard regardless of stream
+    length), and each micro-batch re-emits the shard's current top-k
+    tagged with a version number. The union of the shards' latest
+    emissions, re-topped to k, IS the global sample — the same
+    union-then-top-k merge a 1000-executor batch job would run, so
+    sharding is the scale story, not a compromise.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, v = json.loads(state.get[0]), state.get[1]
+            items = [(int(i), float(s)) for i, s in items]
+        else:
+            items, v = [], 0
+        for pdf in pdfs:
+            items.extend(
+                zip(
+                    pdf[id_col].astype("int64").tolist(),
+                    pdf[key_col].astype("float64").tolist(),
+                )
+            )
+        items.sort(key=lambda t: (-t[1], t[0]))
+        items = items[:k]
+        v += 1
+        state.update((json.dumps(items), v))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "version": [v] * len(items),
+                "shard_rank": list(range(1, len(items) + 1)),
+                id_col: [i for i, _ in items],
+                key_col: [s for _, s in items],
+            }
+        )
+
+    return df.withColumn(
+        "shard", (F.col(id_col) % n_shards).cast("long")
+    ).groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"shard long, version long, shard_rank int,"
+            f" {id_col} long, {key_col} double"
+        ),
+        stateStructType="s string, v long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

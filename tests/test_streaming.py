@@ -553,3 +553,66 @@ def test_streaming_ams_matches_batch_and_q314(spark, tmp_path):
         for r in _REGISTRY["q314_ams_selfjoin_estimate"].fn(spark, SF_DIR).collect()
     }
     assert {j: s * s for j, s in got.items()} == q314
+
+
+def test_streaming_weighted_sample_matches_batch_q339(spark, tmp_path):
+    """The streaming A-ES weighted sample (sixth mergeable shape:
+    bounded top-k sets merging by union-then-top-k) lands on exactly
+    the q339 batch sample after the drain: shard states stay <= k
+    rows each, and the union of the shards' latest emissions,
+    re-topped to 50, is the identical ranked doc list."""
+    from airflow_scraping_etl_tutorial_spark.plans import llm_ops33  # noqa: F401
+    from airflow_scraping_etl_tutorial_spark.plans.llm_ops33 import _wrs_keyed
+    from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+    from airflow_scraping_etl_tutorial_spark.streaming.sketches import (
+        streaming_weighted_sample,
+    )
+
+    keyed = _wrs_keyed(spark, SF_DIR).select(
+        "doc_id",
+        (F.col("lnu").cast("double") / F.col("weight").cast("double")).alias(
+            "skey"
+        ),
+    )
+    d = str(tmp_path / "wrs_stream")
+    keyed.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming_weighted_sample(stream)
+        .writeStream.format("memory")
+        .queryName("wrs_sample")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    rows = spark.sql("SELECT * FROM wrs_sample").collect()
+    assert n_batches >= 4  # state built incrementally, one file per batch
+    latest = {}
+    for r in rows:
+        latest[r.shard] = max(latest.get(r.shard, 0), r.version)
+    assert len(latest) >= 2  # genuinely sharded state
+    final = [
+        (r.doc_id, r.skey)
+        for r in rows
+        if r.version == latest[r.shard]
+    ]
+    per_shard = {}
+    for r in rows:
+        if r.version == latest[r.shard]:
+            per_shard[r.shard] = per_shard.get(r.shard, 0) + 1
+    assert all(c <= 50 for c in per_shard.values())  # bounded state
+    merged = sorted(final, key=lambda t: (-t[1], t[0]))[:50]
+    want = [
+        r.doc_id
+        for r in sorted(
+            _REGISTRY["q339_weighted_sample_aes"].fn(spark, SF_DIR).collect(),
+            key=lambda r: r.sample_rank,
+        )
+    ]
+    assert [i for i, _ in merged] == want
