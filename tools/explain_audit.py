@@ -238,6 +238,10 @@ AUDITED = (
     "q357_data_scaling_curve",
     "q358_mcnemar_classifier_test",
     "q359_embedding_decontamination",
+    # staged wave 40 (plans/llm_ops39.py)
+    "q360_wilcoxon_signed_rank",
+    "q361_cochran_q_raters",
+    "q362_winsorized_daily_mean",
 )
 
 
@@ -364,6 +368,10 @@ GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {
     "q354_runs_test_assignment": (
         "day-grain boundary-stitch lag: |days| rows after the per-day "
         "rollup (the heavy lag is day-partitioned)"
+    ),
+    "q360_wilcoxon_signed_rank": (
+        "midrank cumsum over distinct |diff| values of a day-grain "
+        "frame: O(days) rows"
     ),
 }
 
