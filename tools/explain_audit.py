@@ -242,6 +242,10 @@ AUDITED = (
     "q360_wilcoxon_signed_rank",
     "q361_cochran_q_raters",
     "q362_winsorized_daily_mean",
+    # staged wave 41 (plans/llm_ops40.py)
+    "q363_sprt_early_stopping",
+    "q364_stratified_ate",
+    "q365_apportioned_eval_sample",
 )
 
 
@@ -372,6 +376,10 @@ GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {
     "q360_wilcoxon_signed_rank": (
         "midrank cumsum over distinct |diff| values of a day-grain "
         "frame: O(days) rows"
+    ),
+    "q363_sprt_early_stopping": "day-grain LLR cumsum: O(days) rows",
+    "q365_apportioned_eval_sample": (
+        "|langs|-row remainder rank (the draw rank is lang-partitioned)"
     ),
 }
 
