@@ -85,6 +85,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops38",  # wave 39, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops39",  # wave 40, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops40",  # wave 41, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops41",  # wave 42, round 9
 )
 
 

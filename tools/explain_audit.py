@@ -246,6 +246,10 @@ AUDITED = (
     "q363_sprt_early_stopping",
     "q364_stratified_ate",
     "q365_apportioned_eval_sample",
+    # staged wave 42 (plans/llm_ops41.py)
+    "q366_mantel_haenszel_rr",
+    "q367_readability_by_source",
+    "q368_confusion_cramers_v",
 )
 
 
