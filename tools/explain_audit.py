@@ -250,6 +250,10 @@ AUDITED = (
     "q366_mantel_haenszel_rr",
     "q367_readability_by_source",
     "q368_confusion_cramers_v",
+    # staged wave 43 (plans/llm_ops42.py)
+    "q369_shared_span_localization",
+    "q370_brier_decomposition",
+    "q371_median_confidence_interval",
 )
 
 
