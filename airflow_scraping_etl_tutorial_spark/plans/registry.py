@@ -89,6 +89,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops42",  # wave 43, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops43",  # wave 44, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops44",  # wave 45, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops45",  # wave 46, round 9
 )
 
 
