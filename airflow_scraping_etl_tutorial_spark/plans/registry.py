@@ -90,6 +90,9 @@ STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops43",  # wave 44, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops44",  # wave 45, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops45",  # wave 46, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops46",  # wave 47, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops47",  # wave 48, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops48",  # wave 49, round 9
 )
 
 
