@@ -93,6 +93,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops46",  # wave 47, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops47",  # wave 48, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops48",  # wave 49, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops49",  # wave 50, round 9
 )
 
 

@@ -211,6 +211,96 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_ttl_hits(
+    events: DataFrame,
+    ttls_us: tuple[tuple[str, int], ...],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Live TTL-cache hit counter — the SEVENTH stateful shape
+    (after HLL/count-min/Bloom/histogram/AMS/weighted-sample in
+    streaming/sketches.py): per-user LAST-SEEN state (one long per
+    user — O(users), not O(events)) scoring every arriving event as
+    a cache hit or miss for EVERY candidate TTL at once, the live
+    form of the q382 batch pricer (plans/llm_ops44-era gap identity:
+    hit iff the same user's previous event is within TTL).
+
+    Emits RUNNING per-user totals each micro-batch (update mode):
+    lookups and one hits_<label> column per TTL. The LAST emission
+    per user, summed across users, equals the batch twin on the
+    ingested prefix — asserted in tests/test_streaming.py. Within a
+    micro-batch rows are ordered by (us, event_id); equivalence with
+    batch assumes per-user event-time-ordered arrival across batches
+    (the replay contract a log ingest satisfies; out-of-order arrivals
+    would need the full-history state this operator deliberately does
+    not keep).
+
+    This is per-key mutable state with arbitrary transition logic —
+    Spark's built-in dedup/window forms can't express "distance to
+    the previous row per key" — so it uses the applyInPandasWithState
+    escape hatch, Arrow-batched and checkpoint-recoverable.
+    """
+    labels = [lbl for lbl, _ in ttls_us]
+    bounds = [us for _, us in ttls_us]
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            got = state.get
+            last_us, v, lookups = got[0], got[1], got[2]
+            hits = list(got[3:])
+        else:
+            last_us, v, lookups = None, 0, 0
+            hits = [0] * len(bounds)
+        rows: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    pdf["us"].astype("int64").tolist(),
+                    pdf["event_id"].astype("int64").tolist(),
+                )
+            )
+        rows.sort()
+        for us, _ in rows:
+            lookups += 1
+            if last_us is not None:
+                gap = us - last_us
+                for i, bound in enumerate(bounds):
+                    if gap <= bound:
+                        hits[i] += 1
+            last_us = us
+        v += 1
+        state.update((last_us, v, lookups, *hits))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "version": [v],
+                "lookups": [lookups],
+                **{f"hits_{lbl}": [h] for lbl, h in zip(labels, hits)},
+            }
+        )
+
+    hit_cols = ", ".join(f"hits_{lbl} long" for lbl in labels)
+    state_cols = ", ".join(f"h{i} long" for i in range(len(bounds)))
+    return (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                f"user_id long, version long, lookups long, {hit_cols}"
+            ),
+            stateStructType=f"last_us long, v long, lookups long, {state_cols}",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def purchases_within_hour_of_signup(events: DataFrame) -> DataFrame:
     """Stream-stream interval join: purchases matched to the same
     user's signup that happened at most 1 hour earlier.

@@ -616,3 +616,72 @@ def test_streaming_weighted_sample_matches_batch_q339(spark, tmp_path):
         )
     ]
     assert [i for i, _ in merged] == want
+
+
+def test_streaming_ttl_hits_match_batch(spark, tmp_path):
+    """The seventh stateful shape: per-user last-seen TTL scoring.
+    The events fixture is replayed in FOUR TIME-ORDERED chunks
+    (files dropped into the watched dir one at a time, a drain
+    between drops — the replay contract the operator documents), and
+    the final per-user emissions, summed, must equal the q382 batch
+    pricer's hit counts for every TTL."""
+    import glob
+    import os
+    import shutil
+
+    from airflow_scraping_etl_tutorial_spark.plans import llm_ops46  # noqa: F401
+    from airflow_scraping_etl_tutorial_spark.plans.llm_ops46 import TTLS_US
+    from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+    from airflow_scraping_etl_tutorial_spark.streaming.events import (
+        streaming_ttl_hits,
+    )
+
+    batch = load(spark, SF_DIR, "events").select("user_id", "ts", "event_id")
+    lo, hi = batch.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).first()
+    src = tmp_path / "ttl_stream"
+    os.makedirs(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_ttl_hits(stream, TTLS_US)
+        .writeStream.format("memory")
+        .queryName("ttl_hits")
+        .outputMode("update")
+        .start()
+    )
+    step = (hi - lo) // 4 + 1
+    for i in range(4):
+        chunk = batch.filter(
+            (F.unix_micros("ts") >= lo + i * step)
+            & (F.unix_micros("ts") < lo + (i + 1) * step)
+        )
+        stage = tmp_path / f"chunk_{i}"
+        chunk.coalesce(1).write.parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, str(src / f"{i:03d}.parquet"))
+        q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM ttl_hits").collect()
+    assert n_batches >= 4  # state really was built incrementally
+    latest: dict[int, int] = {}
+    for r in rows:
+        latest[r.user_id] = max(latest.get(r.user_id, 0), r.version)
+    finals = [r for r in rows if r.version == latest[r.user_id]]
+    # a user active in several chunks emitted several RUNNING rows
+    assert any(latest[u] > 1 for u in latest)
+
+    twin = _REGISTRY["q382_ttl_cache_hit_curve"].fn(spark, SF_DIR).collect()
+    want = {r.ttl: (r.n_lookups, r.n_users, r.hits) for r in twin}
+    total_lookups = sum(r.lookups for r in finals)
+    for lbl, _ in TTLS_US:
+        n_lookups, n_users, hits = want[lbl]
+        assert total_lookups == n_lookups
+        assert len(finals) == n_users
+        assert sum(getattr(r, f"hits_{lbl}") for r in finals) == hits
