@@ -254,6 +254,58 @@ AUDITED = (
     "q369_shared_span_localization",
     "q370_brier_decomposition",
     "q371_median_confidence_interval",
+    # staged wave 44 (plans/llm_ops43.py)
+    "q372_kcenter_coreset_picks",
+    "q373_split_balance_chisquare",
+    "q374_split_length_emd",
+    # staged wave 45 (plans/llm_ops44.py)
+    "q375_dup_graph_lang_modularity",
+    "q376_benford_first_digit",
+    "q377_timestamp_delta_encoding",
+    # staged wave 46 (plans/llm_ops45.py)
+    "q378_fellegi_sunter_weights",
+    "q379_selection_regression_to_mean",
+    "q380_decile_qte",
+    # staged wave 47 (plans/llm_ops46.py)
+    "q381_ldiversity_tcloseness",
+    "q382_ttl_cache_hit_curve",
+    "q383_hub_removal_robustness",
+    # staged wave 48 (plans/llm_ops47.py)
+    "q384_term_adaptation",
+    "q385_referential_integrity",
+    "q386_rapid_repeat_orders",
+    # staged wave 49 (plans/llm_ops48.py)
+    "q387_cohort_retention",
+    "q388_topk_leaderboard_churn",
+    "q389_activity_max_drawdown",
+    # staged wave 50 (plans/llm_ops49.py)
+    "q390_median_mad_anomaly_days",
+    "q391_covariate_balance_smd",
+    "q392_shipping_lag_slo",
+    # staged wave 51 (plans/llm_ops50.py)
+    "q393_growth_decomposition",
+    "q394_discount_quantity_elasticity",
+    "q395_deletion_cascade_impact",
+    # staged wave 52 (plans/llm_ops51.py)
+    "q396_pareto_skyline",
+    "q397_range_split_points",
+    "q398_abc_classification",
+    # staged wave 53 (plans/llm_ops52.py)
+    "q399_open_order_concurrency",
+    "q400_stockout_running_balance",
+    "q401_primary_key_uniqueness",
+    # staged wave 54 (plans/llm_ops53.py)
+    "q402_cross_source_dup_matrix",
+    "q403_daily_lead_lag",
+    "q404_frequent_brand_triples",
+    # staged wave 55 (plans/llm_ops54.py)
+    "q405_histogram_selectivity_error",
+    "q406_front_coding_benefit",
+    "q407_ltv_curve",
+    # staged wave 56 (plans/llm_ops55.py)
+    "q408_equidepth_selectivity_error",
+    "q409_feature_hash_collisions",
+    "q410_zipf_tail_fit",
 )
 
 
@@ -388,6 +440,34 @@ GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {
     "q363_sprt_early_stopping": "day-grain LLR cumsum: O(days) rows",
     "q365_apportioned_eval_sample": (
         "|langs|-row remainder rank (the draw rank is lang-partitioned)"
+    ),
+    "q388_topk_leaderboard_churn": (
+        "rank over the already-LIMITed 20-row leaderboard frames"
+    ),
+    "q393_growth_decomposition": "month-grain lag: O(months) rows",
+    "q396_pareto_skyline": (
+        "bucket-grain prefix MIN: tens of rows (the per-price sweep is "
+        "bucket-partitioned)"
+    ),
+    "q397_range_split_points": (
+        "key-bucket-grain cumulative: key-space/1024 rows (the key rank "
+        "is boundary-bucket-local)"
+    ),
+    "q398_abc_classification": (
+        "customer-grain descending revenue cumulative; 100 TB form = "
+        "the q267 two-level bucket rank (docstring)"
+    ),
+    "q399_open_order_concurrency": (
+        "endpoint/calendar day-grain running sum + forward fill: "
+        "O(days) rows"
+    ),
+    "q407_ltv_curve": "age-week-grain cumulative: O(weeks) rows",
+    "q408_equidepth_selectivity_error": (
+        "coarse-bucket cumulative: 1024 rows (the value rank is "
+        "boundary-bucket-local)"
+    ),
+    "q410_zipf_tail_fit": (
+        "frequency-grain descending cumulative: distinct frequencies"
     ),
 }
 
