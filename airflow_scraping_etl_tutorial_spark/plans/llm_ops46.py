@@ -361,7 +361,7 @@ def q383_hub_removal_robustness(
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
     e = pairs.select(
         F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
-    ).persist()
+    ).localCheckpoint()  # truncate the minhash lineage once for all rounds
 
     def stat(edges: DataFrame, k: int, hub: DataFrame | None) -> DataFrame:
         nodes = edges.select(F.col("a").alias("node")).unionAll(
@@ -417,7 +417,12 @@ def q383_hub_removal_robustness(
             .join(
                 F.broadcast(hub.select(F.col("node").alias("b"))), "b", "left_anti"
             )
-            .persist()
+            # truncate lineage per round (cluster.py doctrine): without
+            # this the 3 unrolled rounds nest the whole minhash pipeline
+            # per stat() consumer and the plan TREE (and planning time)
+            # explodes combinatorially — observed as a 113k-line plan
+            # string before this checkpoint
+            .localCheckpoint()
         )
         kept.append(nxt)
         steps.append(stat(nxt, k, hub))

@@ -306,6 +306,10 @@ AUDITED = (
     "q408_equidepth_selectivity_error",
     "q409_feature_hash_collisions",
     "q410_zipf_tail_fit",
+    # staged wave 57 (plans/llm_ops56.py)
+    "q411_decision_stump",
+    "q412_hash_partition_balance",
+    "q413_error_budget_burn",
 )
 
 
@@ -469,6 +473,10 @@ GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {
     "q410_zipf_tail_fit": (
         "frequency-grain descending cumulative: distinct frequencies"
     ),
+    "q411_decision_stump": "width-class cumulative: tens of rows",
+    "q413_error_budget_burn": (
+        "day-grain rolling 7-day sums: O(days) rows"
+    ),
 }
 
 
@@ -544,11 +552,24 @@ def main() -> None:
             )
         if a["joins"]:
             lines.append(f"- join operators: {', '.join(a['joins'])}")
-        for scan in a["scans"]:
-            cols = [c.split("#")[0] for c in scan.split(",")]
-            lines.append(f"- scan reads only: `{', '.join(cols)}`")
-        for pf in a["pushed"]:
-            lines.append(f"- pushed filters: `{pf[:120]}`")
+        # collapse repeats: a persisted/checkpointed lineage prints its
+        # scan line once PER CONSUMER in the plan text — the count is
+        # still informative, the repetition is not
+        def _dedup(items):
+            seen: dict[str, int] = {}
+            for it in items:
+                seen[it] = seen.get(it, 0) + 1
+            return seen.items()
+
+        for scan, k in _dedup(
+            ", ".join(c.split("#")[0] for c in s.split(","))
+            for s in a["scans"]
+        ):
+            suffix = f" (x{k})" if k > 1 else ""
+            lines.append(f"- scan reads only: `{scan}`{suffix}")
+        for pf, k in _dedup(pf[:120] for pf in a["pushed"]):
+            suffix = f" (x{k})" if k > 1 else ""
+            lines.append(f"- pushed filters: `{pf}`{suffix}")
         if a["global_windows"]:
             reason = GLOBAL_WINDOW_JUSTIFIED.get(name)
             if reason is None:
