@@ -310,6 +310,10 @@ AUDITED = (
     "q411_decision_stump",
     "q412_hash_partition_balance",
     "q413_error_budget_burn",
+    # staged wave 58 (plans/llm_ops57.py)
+    "q414_join_fanout_audit",
+    "q415_overdispersion_audit",
+    "q416_event_cooccurrence_lift",
 )
 
 
