@@ -102,6 +102,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops55",  # wave 56, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops56",  # wave 57, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops57",  # wave 58, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops58",  # wave 59, round 9
 )
 
 
