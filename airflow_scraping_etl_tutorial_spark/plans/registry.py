@@ -106,6 +106,7 @@ STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops59",  # wave 60, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops60",  # wave 61, round 9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops61",  # wave 62, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops62",  # wave 63, round 9
 )
 
 
