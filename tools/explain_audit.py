@@ -314,6 +314,26 @@ AUDITED = (
     "q414_join_fanout_audit",
     "q415_overdispersion_audit",
     "q416_event_cooccurrence_lift",
+    # staged wave 59 (plans/llm_ops58.py)
+    "q417_simpson_reversal",
+    "q418_user_effective_variety",
+    "q419_peak_window_share",
+    # staged wave 60 (plans/llm_ops59.py)
+    "q420_fulfillment_trend",
+    "q421_cdc_chunk_dedup",
+    "q422_backlog_aging",
+    # staged wave 61 (plans/llm_ops60.py)
+    "q423_concentration_drift",
+    "q424_alert_run_lengths",
+    "q425_preagg_pushdown_equivalence",
+    # staged wave 62 (plans/llm_ops61.py)
+    "q426_dedup_winner_bias",
+    "q427_retention_decay",
+    "q428_change_contributors",
+    # staged wave 63 (plans/llm_ops62.py)
+    "q429_oov_rate",
+    "q430_keyspace_holes",
+    "q431_popularity_baseline_hitrate",
 )
 
 
@@ -480,6 +500,15 @@ GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {
     "q411_decision_stump": "width-class cumulative: tens of rows",
     "q413_error_budget_burn": (
         "day-grain rolling 7-day sums: O(days) rows"
+    ),
+    "q420_fulfillment_trend": "month-grain frame: O(months) rows",
+    "q423_concentration_drift": "month-grain frame: O(months) rows",
+    "q427_retention_decay": (
+        "offset-week lag + ratio-grain median rank: O(weeks) rows"
+    ),
+    "q430_keyspace_holes": (
+        "bucket-grain boundary stitch: key-space/1024 rows (in-bucket "
+        "gaps are bucket-partitioned)"
     ),
 }
 
