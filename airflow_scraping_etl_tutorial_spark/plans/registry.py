@@ -67,6 +67,37 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops29",  # wave 30, promoted r8
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops30",  # wave 31, promoted r8
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops31",  # wave 32, promoted r8
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops32",  # wave 33, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops33",  # wave 34, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops34",  # wave 35, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops35",  # wave 36, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops36",  # wave 37, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops37",  # wave 38, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops38",  # wave 39, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops39",  # wave 40, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops40",  # wave 41, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops41",  # wave 42, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops42",  # wave 43, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops43",  # wave 44, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops44",  # wave 45, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops45",  # wave 46, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops46",  # wave 47, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops47",  # wave 48, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops48",  # wave 49, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops49",  # wave 50, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops50",  # wave 51, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops51",  # wave 52, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops52",  # wave 53, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops53",  # wave 54, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops54",  # wave 55, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops55",  # wave 56, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops56",  # wave 57, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops57",  # wave 58, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops58",  # wave 59, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops59",  # wave 60, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops60",  # wave 61, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops61",  # wave 62, promoted r9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops62",  # wave 63, promoted r9
 )
 
 # Staged waves: implemented, pytest-covered, strict-oracle-green, but
@@ -76,37 +107,7 @@ _QUERY_MODULES = (
 # list cannot drift between consumers. Promotion = move the module
 # name into _QUERY_MODULES above.
 STAGED_MODULES: tuple[str, ...] = (
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops32",  # wave 33, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops33",  # wave 34, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops34",  # wave 35, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops35",  # wave 36, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops36",  # wave 37, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops37",  # wave 38, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops38",  # wave 39, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops39",  # wave 40, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops40",  # wave 41, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops41",  # wave 42, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops42",  # wave 43, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops43",  # wave 44, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops44",  # wave 45, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops45",  # wave 46, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops46",  # wave 47, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops47",  # wave 48, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops48",  # wave 49, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops49",  # wave 50, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops50",  # wave 51, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops51",  # wave 52, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops52",  # wave 53, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops53",  # wave 54, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops54",  # wave 55, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops55",  # wave 56, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops56",  # wave 57, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops57",  # wave 58, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops58",  # wave 59, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops59",  # wave 60, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops60",  # wave 61, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops61",  # wave 62, round 9
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops62",  # wave 63, round 9
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops63",  # wave 64, round 10
 )
 
 
