@@ -334,6 +334,10 @@ AUDITED = (
     "q429_oov_rate",
     "q430_keyspace_holes",
     "q431_popularity_baseline_hitrate",
+    # staged wave 64 (plans/llm_ops63.py)
+    "q432_data_dictionary",
+    "q433_tokenizer_fertility",
+    "q434_effort_to_convert",
 )
 
 
@@ -347,7 +351,15 @@ def _count_global_windows(plan: str) -> int:
     A spec is unpartitioned iff every top-level argument before the
     frame is a sort expression (or there are none at all, e.g. a
     global count over an unordered unbounded frame).
+
+    Sort expressions are recognized by their trailing direction token
+    (`... ASC NULLS FIRST`), not substring containment, so a partition
+    expression whose stringified form merely CONTAINS " ASC" (a column
+    named `x ASC y`, a literal) cannot be misclassified. Unit-tested
+    against known plan strings in tests/test_plan_properties.py.
     """
+
+    sort_dir_re = re.compile(r" (?:ASC|DESC)(?: NULLS (?:FIRST|LAST))?$")
 
     def args_before_frame(spec: str) -> list[str]:
         depth = 0
@@ -374,7 +386,7 @@ def _count_global_windows(plan: str) -> int:
             continue
         for m in re.finditer(r"windowspecdefinition\(", line):
             args = args_before_frame(line[m.end() :])
-            if all(" ASC" in a or " DESC" in a for a in args):
+            if all(sort_dir_re.search(a) for a in args):
                 n += 1
                 break  # count the node once, not per window function
     return n
@@ -509,6 +521,10 @@ GLOBAL_WINDOW_JUSTIFIED: dict[str, str] = {
     "q430_keyspace_holes": (
         "bucket-grain boundary stitch: key-space/1024 rows (in-bucket "
         "gaps are bucket-partitioned)"
+    ),
+    "q434_effort_to_convert": (
+        "median rank over converting-user grain: the 10^9-key form is "
+        "the q267 two-level bucket rank (q398 doctrine)"
     ),
 }
 
