@@ -103,15 +103,29 @@ def test_global_window_sites_annotated():
     pkg = pathlib.Path(__file__).resolve().parents[1] / (
         "airflow_scraping_etl_tutorial_spark"
     )
+    # Whole-text scan so a site split across lines (`W\n  .orderBy(`),
+    # an instantiated form (`Window().orderBy(`), or a locally aliased
+    # import (`Window as Win`) cannot evade the lint (round-8 ADVICE).
     site_re = re.compile(
-        r"(?:\bW\.orderBy\(|\bWindow\.orderBy\(|\bW\.partitionBy\(\)|\bWindow\.partitionBy\(\))"
+        r"\b(?:W|Window|Win|window_spec)(?:\(\))?\s*\.\s*"
+        r"(?:orderBy\s*\(|partitionBy\s*\(\s*\))"
     )
+    alias_re = re.compile(r"import\s+Window\s+as\s+(\w+)")
     unannotated = []
     n_sites = 0
     for path in sorted(pkg.rglob("*.py")):
-        lines = path.read_text().splitlines()
-        for i, line in enumerate(lines):
-            if not site_re.search(line.split("#")[0]):
+        text = path.read_text()
+        aliases = set(alias_re.findall(text)) - {"W", "Window", "Win"}
+        assert not aliases, (
+            f"{path}: Window aliased as {aliases} — add the alias to the "
+            "global-window lint's site_re or use the standard `W`"
+        )
+        lines = text.splitlines()
+        for m in site_re.finditer(text):
+            i = text.count("\n", 0, m.start())  # 0-based line of match start
+            # ignore matches inside a comment (annotations themselves
+            # name the patterns they gate)
+            if "#" in lines[i][: m.start() - (text.rfind("\n", 0, m.start()) + 1)]:
                 continue
             n_sites += 1
             context = "\n".join(lines[max(0, i - 3) : i + 1])
@@ -121,4 +135,85 @@ def test_global_window_sites_annotated():
     assert not unannotated, (
         "unpartitioned window without a global-window-ok justification "
         f"(partition it or annotate the bounded frame): {unannotated}"
+    )
+
+
+def _load_explain_audit():
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "tools" / "explain_audit.py"
+    spec = importlib.util.spec_from_file_location("explain_audit", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_count_global_windows_unit():
+    """The plan-level window counter must anchor on the TRAILING sort
+    direction token, so a partition expression whose stringified form
+    happens to contain ' ASC' is not misclassified (round-8 ADVICE)."""
+    ea = _load_explain_audit()
+    frame = "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())"
+    # unpartitioned: single sort arg
+    p1 = f"+- Window [row_number() windowspecdefinition(x#1 ASC NULLS FIRST, {frame})]"
+    assert ea._count_global_windows(p1) == 1
+    # partitioned: partition expr then sort expr
+    p2 = (
+        "+- Window [row_number() windowspecdefinition(grp#2, "
+        f"x#1 DESC NULLS LAST, {frame})]"
+    )
+    assert ea._count_global_windows(p2) == 0
+    # partition expr CONTAINING ' ASC' mid-string must still partition
+    p3 = (
+        "+- Window [count(1) windowspecdefinition(CASE WHEN name#3 = b ASC c "
+        f"THEN 1 END, x#1 ASC NULLS FIRST, {frame})]"
+    )
+    assert ea._count_global_windows(p3) == 0
+    # unordered unbounded global frame (zero args before the frame)
+    p4 = f"+- Window [count(1) windowspecdefinition({frame})]"
+    assert ea._count_global_windows(p4) == 1
+    # two spec definitions on one Window node count the node once
+    p5 = (
+        "+- Window [row_number() windowspecdefinition(x#1 ASC NULLS FIRST, "
+        f"{frame}), count(1) windowspecdefinition(x#1 ASC NULLS FIRST, {frame})]"
+    )
+    assert ea._count_global_windows(p5) == 1
+    # non-Window lines never counted
+    assert ea._count_global_windows("windowspecdefinition(x#1 ASC NULLS FIRST)") == 0
+
+
+def test_staged_entries_global_windows_justified(spark):
+    """Plan-level mirror of the source lint, run as a pytest gate for
+    STAGED entries (round-8 ADVICE): any staged query whose final plan
+    contains an unpartitioned Window node must carry a justification in
+    tools/explain_audit.py::GLOBAL_WINDOW_JUSTIFIED — so a staged wave
+    cannot reach promotion with an unexplained global window even if
+    its source form evades the textual lint."""
+    import importlib
+
+    from airflow_scraping_etl_tutorial_spark.plans.registry import (
+        _REGISTRY,
+        STAGED_MODULES,
+    )
+
+    ea = _load_explain_audit()
+    staged_specs = []
+    for mod in STAGED_MODULES:
+        importlib.import_module(mod)
+    for name, qspec in _REGISTRY.items():
+        if qspec.fn.__module__ in STAGED_MODULES:
+            staged_specs.append((name, qspec))
+    assert staged_specs, "no staged entries — drop this gate with STAGED_MODULES"
+    offenders = []
+    for name, qspec in staged_specs:
+        df = qspec.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = ea._count_global_windows(plan)
+        if n > 0 and name not in ea.GLOBAL_WINDOW_JUSTIFIED:
+            offenders.append(f"{name} ({n} global windows)")
+    assert not offenders, (
+        "staged entries with unexplained unpartitioned Window nodes "
+        f"(justify in GLOBAL_WINDOW_JUSTIFIED or partition): {offenders}"
     )
