@@ -1,0 +1,60 @@
+"""The bench regression gate (round-8 VERDICT item 4): per-query
+references resolve to the r05 methodology baseline where measured
+there, else the first later sf0.1 measurement, and the 2x comparison
+uses exactly those numbers."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import HEADLINE, _reference_timings  # noqa: E402
+
+
+def test_references_cover_headline_set():
+    refs = _reference_timings(REPO)
+    missing = [q for q in HEADLINE if q not in refs]
+    # every headline entry that has appeared in a committed BENCH file
+    # has a reference; entries added THIS round self-baseline next round
+    committed = set()
+    import glob
+
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        with open(path) as f:
+            committed |= set((json.load(f).get("parsed") or {}).get("queries") or {})
+    assert not (set(missing) & committed)
+    assert all(v > 0 for v in refs.values())
+
+
+def test_r05_baseline_wins_over_later_rounds():
+    refs = _reference_timings(REPO)
+    with open(os.path.join(REPO, "BENCH_r05.json")) as f:
+        r05 = json.load(f)["parsed"]["queries"]
+    for q, sec in r05.items():
+        assert refs[q] == float(sec), (
+            f"{q}: reference {refs[q]} must be the r05 baseline {sec}"
+        )
+
+
+def test_pre_r05_rounds_excluded():
+    """r01-r04 used a different (warm-cache) methodology; their numbers
+    must never become references even for queries they contain."""
+    import glob
+
+    early = set()
+    for path in glob.glob(os.path.join(REPO, "BENCH_r0[1-4].json")):
+        with open(path) as f:
+            early |= set((json.load(f).get("parsed") or {}).get("queries") or {})
+    late = set()
+    for path in glob.glob(os.path.join(REPO, "BENCH_r0[5-9].json")) + glob.glob(
+        os.path.join(REPO, "BENCH_r[1-9][0-9].json")
+    ):
+        with open(path) as f:
+            late |= set((json.load(f).get("parsed") or {}).get("queries") or {})
+    refs = _reference_timings(REPO)
+    only_early = early - late
+    assert not (set(refs) & only_early)
