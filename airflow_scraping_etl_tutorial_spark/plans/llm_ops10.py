@@ -290,33 +290,44 @@ def q250_connected_components_minlabel(spark: SparkSession, sf_dir: str) -> Data
     scalar; this entry freezes the iteration count so DuckDB can
     replay it value-for-value). Labels are doc_ids, propagation is
     MIN over neighbors — integer, associative, bit-exact under any
-    shuffle. Two id-keyed joins per round; only (node, label) pairs
-    move. At 100 TB this is the large-star/small-star economics:
+    shuffle. Round 1 fuses to a single LEAST/MIN aggregate (identity
+    labels need no join, and its output doubles as the node list);
+    round 2 is one id-keyed join + one MIN (self-loop edges fold each
+    node's own round-1 label into the neighbor MIN, so no second
+    label join); only (node, label) pairs move. At 100 TB this
+    is the large-star/small-star economics:
     rounds are O(diameter), and dup-graph diameters are tiny because
     near-dup clusters are cliques-ish."""
     docs = load(spark, sf_dir, "documents")
     from ..operators.dedup import minhash_near_duplicates
 
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
-    e = (
-        pairs.select(F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d"))
-        .unionAll(
-            pairs.select(F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("d"))
-        )
+    sym = pairs.select(
+        F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d")
+    ).unionAll(
+        pairs.select(F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("d"))
+    ).persist()
+    # round 1 fused: labels start as the identity, so
+    # l1(u) = LEAST(u, MIN(neighbors)) is ONE aggregate — no label
+    # join, no separate node-list distinct (l1 IS the node list)
+    lbl1 = (
+        sym.groupBy(F.col("d").alias("node"))
+        .agg(F.least(F.min("s"), F.col("d")).alias("lbl"))
         .persist()
     )
-    lbl = e.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    # round 2 with the self-loop trick: appending (u, u) edges folds
+    # each node's own l1 into the neighbor MIN, so the round is ONE
+    # join + ONE aggregate instead of two joins + LEAST
+    e2 = sym.unionByName(
+        lbl1.select(F.col("node").alias("s"), F.col("node").alias("d"))
     )
-    for _ in range(2):
-        neigh = (
-            e.join(lbl.select(F.col("node").alias("s"), F.col("lbl").alias("nl")), "s")
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.min("nl").alias("minn"))
+    lbl = (
+        e2.join(
+            lbl1.select(F.col("node").alias("s"), F.col("lbl").alias("nl")), "s"
         )
-        lbl = lbl.join(neigh, "node").select(
-            "node", F.least(F.col("lbl"), F.col("minn")).alias("lbl")
-        )
+        .groupBy(F.col("d").alias("node"))
+        .agg(F.min("nl").alias("lbl"))
+    )
     from ..functions.caching import tag_intermediates
 
     out = (
@@ -329,7 +340,7 @@ def q250_connected_components_minlabel(spark: SparkSession, sf_dir: str) -> Data
         .orderBy(F.desc("n_docs"), "component")
         .limit(20)
     )
-    return tag_intermediates(out, e)
+    return tag_intermediates(out, sym, lbl1)
 
 
 # ---------------------------------------------------------------------------

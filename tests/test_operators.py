@@ -293,6 +293,54 @@ def test_connected_components_known_graph(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_path(spark):
+    """A 41-node path has diameter 40: plain min-label propagation
+    needs 40 rounds (and silently returned non-converged labels past
+    its 20-round cap — the latent defect the star rewrite fixes);
+    large-star/small-star contracts it within the default budget."""
+    from airflow_scraping_etl_tutorial_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(doc_id_a=i, doc_id_b=i + 1) for i in range(40)]
+    )
+    comp = {r.vertex_id: r.component_id for r in connected_components(edges).collect()}
+    assert comp == {i: 0 for i in range(41)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized replay: the operator must agree with a driver-side
+    union-find on an arbitrary multi-component graph (seeded)."""
+    import random
+
+    from airflow_scraping_etl_tutorial_spark.operators.cluster import (
+        connected_components,
+    )
+
+    rng = random.Random(9)
+    pairs = sorted({tuple(sorted(rng.sample(range(200), 2))) for _ in range(150)})
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    nodes = {n for ab in pairs for n in ab}
+    expected = {}
+    for n in nodes:
+        root = find(n)
+        expected.setdefault(root, []).append(n)
+    want = {n: min(mem) for mem in expected.values() for n in mem}
+    edges = spark.createDataFrame([Row(doc_id_a=a, doc_id_b=b) for a, b in pairs])
+    got = {r.vertex_id: r.component_id for r in connected_components(edges).collect()}
+    assert got == want
+
+
 def test_dedup_keep_canonical_end_to_end(spark, docs):
     from airflow_scraping_etl_tutorial_spark.operators.cluster import (
         dedup_keep_canonical,
