@@ -218,33 +218,47 @@ def q226_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with NO floating point at all — the doctrine answer to iterative-
     algorithm drift.
 
-    Scale: each iteration is one edge-keyed join + aggregate (the
-    textbook Pregel step as DataFrame ops); the iteration count is a
-    fixed constant (2), not data-dependent, so the catalog entry stays
+    Scale: out-degree is attached to the edge list ONCE (not re-joined
+    per iteration); iteration 1 fuses to a single aggregate (r0 is the
+    constant SCALE, so per-edge contributions need no rank join) and
+    iteration 2 is one edge-keyed join + aggregate (the textbook
+    Pregel step as DataFrame ops); the iteration count is a fixed
+    constant (2), not data-dependent, so the catalog entry stays
     deterministic (the data-dependent-convergence variant lives in
-    operators/cluster.py's label propagation with its documented
-    scalar-collect convergence check)."""
+    operators/cluster.py's star contraction with its documented
+    exact convergence probe)."""
     docs = load(spark, sf_dir, "documents")
-    # pairs feeds both union branches; e feeds deg + 2 joins/iteration.
+    # pairs feeds both union branches; the degree-annotated edge list
+    # feeds both iterations.
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5).persist()
     e = pairs.select(
         F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d")
     ).unionByName(
         pairs.select(F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("d"))
-    ).persist()
+    )
     deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("dg"))
-    r = deg.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
-    for _ in range(2):
-        contrib = (
-            e.join(r, e["s"] == r["node"])
-            .join(deg.withColumnRenamed("node", "gnode"), F.col("s") == F.col("gnode"))
-            .select(F.col("d").alias("node"), F.expr("r div dg").alias("c"))
-        )
-        r = contrib.groupBy("node").agg(
-            (F.lit(_PR_BASE) + F.expr("(85 * SUM(c)) div 100"))
-            .cast("bigint")
-            .alias("r")
-        )
+    # attach out-degree to each edge ONCE instead of re-joining deg
+    # every iteration (the q250 fusion doctrine, round 9)
+    e_deg = (
+        e.join(deg, e["s"] == deg["node"]).select("s", "d", "dg").persist()
+    )
+    # iteration 1 fused: r0 == SCALE for every node, so each edge's
+    # contribution is the constant SCALE div deg — one aggregate, no
+    # rank join at all
+    r = e_deg.groupBy(F.col("d").alias("node")).agg(
+        (F.lit(_PR_BASE) + F.expr(f"(85 * SUM({_PR_SCALE} div dg)) div 100"))
+        .cast("bigint")
+        .alias("r")
+    )
+    # iteration 2: one rank join + one aggregate
+    contrib = e_deg.join(r, e_deg["s"] == r["node"]).select(
+        F.col("d").alias("node"), F.expr("r div dg").alias("c")
+    )
+    r = contrib.groupBy("node").agg(
+        (F.lit(_PR_BASE) + F.expr("(85 * SUM(c)) div 100"))
+        .cast("bigint")
+        .alias("r")
+    )
     from ..functions.caching import tag_intermediates
 
     out = (
@@ -252,7 +266,7 @@ def q226_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_score").desc(), "doc_id")
         .limit(20)
     )
-    return tag_intermediates(out, pairs, e)
+    return tag_intermediates(out, pairs, e_deg)
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import HEADLINE, _reference_timings  # noqa: E402
+from bench import HEADLINE, _gate_violations, _reference_timings  # noqa: E402
+
+
+def test_gate_predicate():
+    refs = {"fast": 0.2, "slow": 2.2}
+    # sub-second noise on a slower host: >2x but within absolute slack
+    assert _gate_violations({"fast": 0.45}, refs) == []
+    # just over the ratio AND the slack: flagged
+    assert len(_gate_violations({"fast": 0.75}, refs)) == 1
+    # multi-second real regression: flagged
+    assert len(_gate_violations({"slow": 12.6}, refs)) == 1
+    # slower but under 2x: never flagged regardless of delta
+    assert _gate_violations({"slow": 4.0}, refs) == []
+    # unknown query (first measurement this round): never flagged
+    assert _gate_violations({"new": 99.0}, refs) == []
 
 
 def test_references_cover_headline_set():
