@@ -121,11 +121,14 @@ def connected_components(
             e = nxt
             break
         e = nxt
-    return vertices.join(
-        e.select(F.col("c").alias("vertex_id"), F.col("p").alias("component_id")),
-        "vertex_id",
-        "left",
-    ).select(
+    # At the fixed point every child has exactly ONE parent (stars);
+    # the MIN aggregate is the identity there, and if max_iterations
+    # were ever exhausted mid-contraction it still guarantees one row
+    # per vertex instead of join-duplicating multi-parent children.
+    parents = e.groupBy(F.col("c").alias("vertex_id")).agg(
+        F.min("p").alias("component_id")
+    )
+    return vertices.join(parents, "vertex_id", "left").select(
         "vertex_id",
         F.coalesce(F.col("component_id"), F.col("vertex_id")).alias("component_id"),
     )
