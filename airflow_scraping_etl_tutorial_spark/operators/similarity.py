@@ -41,6 +41,54 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def assign_argmax_cosine(
+    df: DataFrame,
+    vec_col: str,
+    cents: DataFrame,
+    out_cid: str = "centroid_id",
+) -> DataFrame:
+    """Map-side argmax-cosine assignment against a broadcast model:
+    the m centroids collapse into ONE array row, and each vector picks
+    its best centroid inside a single projection — no (n x m) row
+    explosion, no hash exchange, no per-vector window sort (the
+    round-9 replacement for the row_number(PARTITION BY vec ORDER BY
+    cos DESC, cid) form, which shuffled n x m rows to rank m of them).
+
+    The fold walks the centroid array in ascending centroid_id order
+    (array_sort on the leading struct field) and keeps a strictly
+    GREATER cosine, so ties resolve to the smallest centroid_id —
+    bit-identical to the window form it replaces. Cosines are the
+    same doubles either way (same expression on the same operands).
+    """
+    packed = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(out_cid).alias("cid"), F.col("c_emb").alias("ce"))
+            )
+        ).alias("_cl")
+    )
+    scored = F.transform(
+        F.col("_cl"),
+        lambda c: F.struct(
+            cosine(F.col(vec_col), c["ce"]).alias("cos"), c["cid"].alias("cid")
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-2.0).cast("double").alias("cos"),
+            F.lit(-1).cast("long").alias("cid"),
+        ),
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+    )
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn("_best", best)
+        .withColumn(out_cid, F.col("_best.cid"))
+        .drop("_cl", "_best")
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     da, db = as_double(a), as_double(b)
     return dot(da, db) / (l2_norm(da) * l2_norm(db))
@@ -272,6 +320,11 @@ def ivf_topk_cosine(
     )
 
     def assign(df: DataFrame, vid: str, emb_alias: str, keep: int) -> DataFrame:
+        if keep == 1:
+            # corpus side: map-side argmax, no (n x m) shuffle
+            return assign_argmax_cosine(df, emb_alias, centroids).select(
+                vid, "centroid_id"
+            )
         scored = df.crossJoin(F.broadcast(centroids)).select(
             F.col(vid),
             F.col("centroid_id"),
@@ -368,18 +421,10 @@ def _lloyd_step(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     analysis/codegen per iteration and wouldn't survive dim=4096).
     Decimal-exact sums keep the means order-independent; the array is
     rebuilt position-sorted, so the result is bit-identical to the
-    wide form."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        "_e",
-        "centroid_id",
-        cosine(F.col("_e"), F.col("c_emb")).alias("_cos"),
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("centroid_id", "_e")
+    wide form. Assignment is the map-side argmax fold
+    (assign_argmax_cosine) — no (n x m) shuffle per iteration."""
+    assigned = assign_argmax_cosine(vecs, "_e", cents).select(
+        "centroid_id", "_e"
     )
     comp = assigned.select("centroid_id", F.posexplode("_e").alias("_pos", "_val"))
     means = comp.groupBy("centroid_id", "_pos").agg(
@@ -530,6 +575,11 @@ def ivf_topk_cosine_trained(
     cents = kmeans_centroids(corpus, n_centroids, n_iterations, id_col=id_col)
 
     def assign(df: DataFrame, vid: str, keep: int) -> DataFrame:
+        if keep == 1:
+            # corpus side: map-side argmax, no (n x m) shuffle
+            return assign_argmax_cosine(df, "embedding", cents).select(
+                vid, "centroid_id"
+            )
         scored = df.crossJoin(F.broadcast(cents)).select(
             F.col(vid),
             F.col("centroid_id"),

@@ -40,7 +40,12 @@ from ..operators.dedup import (
     shingle_words,
     simhash_near_duplicates,
 )
-from ..operators.similarity import as_double, cosine, kmeans_centroids_converged
+from ..operators.similarity import (
+    as_double,
+    assign_argmax_cosine,
+    cosine,
+    kmeans_centroids_converged,
+)
 from ..operators.text import tokens
 from ..sources.tables import load
 from .llm_ops import _sql_hex60, _sql_minhash_pairs, _SQL_SHINGLES3
@@ -135,15 +140,8 @@ def q258_kmeans_converged_assignment(spark: SparkSession, sf_dir: str) -> DataFr
         emb, n_centroids=8, tol=0.0, max_iterations=2
     )
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("_e"))
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "centroid_id",
-        cosine(F.col("_e"), F.col("c_emb")).alias("_cos"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("_cos"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
-    )
+    # map-side argmax fold (assign_argmax_cosine) — no (n x 8) shuffle
+    assigned = assign_argmax_cosine(vecs, "_e", cents)
     return (
         assigned.groupBy("centroid_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_assigned"))

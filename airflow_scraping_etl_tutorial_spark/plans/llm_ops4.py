@@ -31,8 +31,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import fan_out
 from ..operators.dedup import minhash_near_duplicates, shingle_hashes
-from ..operators.similarity import as_double, cosine, kmeans_centroids
+from ..operators.similarity import (
+    as_double,
+    assign_argmax_cosine,
+    cosine,
+    kmeans_centroids,
+)
 from ..operators.text import en_stopword_ratio, tokens
 from ..sources.tables import load
 from .llm_ops import _sql_cosine, _sql_minhash_pairs
@@ -118,20 +124,19 @@ def q154_semdedup_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.46, same constant as q74's embedding near-dup)."""
     emb = load(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb, n_centroids=8, n_iterations=1)
-    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("_e"))
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "_e",
-        "centroid_id",
-        cosine(F.col("_e"), F.col("c_emb")).alias("_cos"),
+    # fan_out BEFORE the map-side assignment: the fold inherits the
+    # input partitioning, and the quadratic within-cell self-join
+    # downstream needs its probe side spread across cores (the window
+    # form's shuffle used to provide this by accident)
+    vecs = fan_out(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("_e"))
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("_cos"), F.asc("centroid_id"))
     # cells feeds both sides of the within-cell self-join AND the final
     # report join — persist (operator-tag protocol) or the k-means +
-    # assignment pipeline runs three times.
+    # assignment pipeline runs three times. Assignment is the map-side
+    # argmax fold (assign_argmax_cosine) — no (n x 8) shuffle.
     cells = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        assign_argmax_cosine(vecs, "_e", cents)
         .select("vec_id", "_e", F.col("centroid_id").alias("cid"))
         .persist()
     )

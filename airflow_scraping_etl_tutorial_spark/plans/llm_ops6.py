@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_near_duplicates, word_shingles
 from ..operators.membership import bloom_bitmap, bloom_probe
-from ..operators.similarity import as_double, cosine, kmeans_centroids
+from ..operators.similarity import (
+    as_double,
+    assign_argmax_cosine,
+    cosine,
+    kmeans_centroids,
+)
 from ..operators.text import en_stopword_ratio, repetition_stats, tokens
 from ..sources.tables import load
 from .llm_ops import (
@@ -556,16 +561,9 @@ def q211_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = kmeans_centroids(emb, n_centroids=8, n_iterations=1)
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("_e"))
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "centroid_id",
-        cosine(F.col("_e"), F.col("c_emb")).alias("_cos"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("_cos"), F.asc("centroid_id"))
-    cells = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "centroid_id")
+    # map-side argmax fold (assign_argmax_cosine) — no (n x 8) shuffle
+    cells = assign_argmax_cosine(vecs, "_e", cents).select(
+        "vec_id", "centroid_id"
     )
     cs = (
         cells.join(docs, "vec_id")
