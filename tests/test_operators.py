@@ -279,6 +279,50 @@ def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     assert r2 >= max(r1 * 2, 0.05)
 
 
+def test_argmax_assignment_matches_window_form(spark):
+    """assign_argmax_cosine must agree with the row_number(ORDER BY
+    cos DESC, cid) window form it replaced, including ties: identical
+    vectors (always cosine 1.0 to every centroid of themselves...)
+    and duplicated centroids force the smallest-cid tie-break."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        assign_argmax_cosine,
+        cosine,
+    )
+
+    rng = random.Random(7)
+    vec_rows = [
+        Row(vec_id=i, _e=[rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)
+    ]
+    cent_vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    cent_rows = [Row(centroid_id=c, c_emb=cent_vecs[c % 4]) for c in range(6)]
+    # centroids 4 and 5 DUPLICATE centroids 0 and 1 -> every vector is
+    # tied between (0,4) or can tie between (1,5); smallest cid wins
+    vecs = spark.createDataFrame(vec_rows)
+    cents = spark.createDataFrame(cent_rows)
+    fold = {
+        r.vec_id: r.centroid_id
+        for r in assign_argmax_cosine(vecs, "_e", cents)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", cosine(F.col("_e"), F.col("c_emb")).alias("_c")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("_c"), F.asc("centroid_id"))
+    win = {
+        r.vec_id: r.centroid_id
+        for r in scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .collect()
+    }
+    assert fold == win
+    assert all(cid < 4 for cid in fold.values())  # ties broke low
+
+
 def test_connected_components_known_graph(spark):
     from airflow_scraping_etl_tutorial_spark.operators.cluster import (
         connected_components,
