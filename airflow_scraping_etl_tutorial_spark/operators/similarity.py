@@ -54,37 +54,63 @@ def assign_argmax_cosine(
     round-9 replacement for the row_number(PARTITION BY vec ORDER BY
     cos DESC, cid) form, which shuffled n x m rows to rank m of them).
 
-    The fold walks the centroid array in ascending centroid_id order
-    (array_sort on the leading struct field) and keeps a strictly
-    GREATER cosine, so ties resolve to the smallest centroid_id —
-    bit-identical to the window form it replaces. Cosines are the
-    same doubles either way (same expression on the same operands).
+    The fold ranks by dot(v, c) / ||c|| — cosine times the POSITIVE
+    per-row constant ||v||, so the argmax (and every tie) is identical
+    to ranking by cosine while skipping m redundant O(dim) row-norm
+    folds per row (centroid norms are precomputed once in the packed
+    model). The walk is in ascending centroid_id order (array_sort on
+    the leading struct field) and keeps a strictly GREATER score, so
+    ties resolve to the smallest centroid_id — the same vector lands
+    in the same cell as under the window form, including the
+    zero-vector case (all scores 0.0 -> smallest cid, matching the
+    window's all-NaN ordering) and the all-NULL case (null/mismatched
+    embedding -> fall back to the smallest centroid_id, matching
+    NULLS LAST). Assumes centroid ids are nonnegative (the -1 fold
+    sentinel) and the model is non-empty.
     """
     packed = cents.agg(
         F.array_sort(
             F.collect_list(
-                F.struct(F.col(out_cid).alias("cid"), F.col("c_emb").alias("ce"))
+                F.struct(
+                    F.col(out_cid).alias("cid"),
+                    as_double(F.col("c_emb")).alias("ce"),
+                )
             )
+        ).alias("_cl0")
+    ).select(
+        F.transform(
+            F.col("_cl0"),
+            lambda c: F.struct(
+                c["cid"].alias("cid"),
+                c["ce"].alias("ce"),
+                l2_norm(c["ce"]).alias("cn"),
+            ),
         ).alias("_cl")
     )
     scored = F.transform(
         F.col("_cl"),
         lambda c: F.struct(
-            cosine(F.col(vec_col), c["ce"]).alias("cos"), c["cid"].alias("cid")
+            (dot(as_double(F.col(vec_col)), c["ce"]) / c["cn"]).alias("s"),
+            c["cid"].alias("cid"),
         ),
     )
     best = F.aggregate(
         scored,
         F.struct(
-            F.lit(-2.0).cast("double").alias("cos"),
+            F.lit(float("-inf")).cast("double").alias("s"),
             F.lit(-1).cast("long").alias("cid"),
         ),
-        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+        lambda acc, s: F.when(s["s"] > acc["s"], s).otherwise(acc),
     )
     return (
         df.crossJoin(F.broadcast(packed))
         .withColumn("_best", best)
-        .withColumn(out_cid, F.col("_best.cid"))
+        .withColumn(
+            out_cid,
+            F.when(
+                F.col("_best.cid") == -1, F.element_at("_cl", 1)["cid"]
+            ).otherwise(F.col("_best.cid")),
+        )
         .drop("_cl", "_best")
     )
 

@@ -32,7 +32,6 @@ and whether the dup detectors agree with each other.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (

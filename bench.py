@@ -103,7 +103,7 @@ def _gate_violations(
     tripping on per-stage fixed costs on a uniformly slower host,
     while multi-second regressions clear it by construction."""
     return [
-        f"{q}: {t:.3f}s > 2x reference {refs[q]:.3f}s + 0.5s slack"
+        f"{q}: {t:.3f}s vs reference {refs[q]:.3f}s (>2x AND >0.5s over)"
         for q, t in timings.items()
         if q in refs and t > 2 * refs[q] and t - refs[q] > 0.5
     ]

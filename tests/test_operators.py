@@ -337,6 +337,56 @@ def test_connected_components_known_graph(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_self_loop_only_vertex(spark):
+    """A vertex appearing ONLY in self-loops is still returned, as its
+    own singleton component (the operator's every-vertex contract)."""
+    from airflow_scraping_etl_tutorial_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(doc_id_a=1, doc_id_b=2), Row(doc_id_a=5, doc_id_b=5)]
+    )
+    comp = {r.vertex_id: r.component_id for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 5: 5}
+
+
+def test_argmax_assignment_null_embedding_falls_back_low(spark):
+    """A NULL embedding scores NULL against every centroid; the fold
+    must fall back to the smallest centroid id (the window form's
+    NULLS LAST outcome), never the -1 sentinel."""
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        assign_argmax_cosine,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("_e", ArrayType(DoubleType())),
+        ]
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0])], schema
+    )
+    cents = spark.createDataFrame(
+        [Row(centroid_id=7, c_emb=[0.5, 0.5]), Row(centroid_id=3, c_emb=[1.0, 0.0])]
+    )
+    got = {
+        r.vec_id: r.centroid_id
+        for r in assign_argmax_cosine(vecs, "_e", cents).collect()
+    }
+    assert got[1] == 3  # genuine argmax
+    assert got[2] == 3  # null embedding -> smallest cid, not -1
+    assert got[3] == 3  # zero vector: all scores 0.0 -> smallest cid
+
+
 def test_connected_components_long_path(spark):
     """A 41-node path has diameter 40: plain min-label propagation
     needs 40 rounds (and silently returned non-converged labels past
