@@ -108,6 +108,7 @@ _QUERY_MODULES = (
 # name into _QUERY_MODULES above.
 STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops63",  # wave 64, round 10
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops64",  # wave 65, round 10
 )
 
 

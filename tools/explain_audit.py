@@ -338,6 +338,10 @@ AUDITED = (
     "q432_data_dictionary",
     "q433_tokenizer_fertility",
     "q434_effort_to_convert",
+    # staged wave 65 (plans/llm_ops64.py)
+    "q435_littles_law_flow_identity",
+    "q436_systematic_sample_bias",
+    "q437_temporal_integrity_audit",
 )
 
 
