@@ -232,36 +232,48 @@ _SYS_K = 10
       SELECT CAST(SUM(n_sample) AS BIGINT) AS n_pop,
              CAST(SUM(sum_cents) AS BIGINT) AS pop_sum
       FROM per
+    ),
+    m AS (
+      SELECT per.off,
+             per.n_sample,
+             (per.sum_cents // per.n_sample) * 1000
+               + (per.sum_cents % per.n_sample) * 1000 // per.n_sample
+               AS samp_mean_milli,
+             (pop.pop_sum // pop.n_pop) * 1000
+               + (pop.pop_sum % pop.n_pop) * 1000 // pop.n_pop
+               AS pop_mean_milli
+      FROM per CROSS JOIN pop
     )
-    SELECT per.off AS sample_offset,
-           per.n_sample,
-           CAST(per.sum_cents * 1000 // per.n_sample AS BIGINT)
-             AS samp_mean_milli,
-           CAST(pop.pop_sum * 1000 // pop.n_pop AS BIGINT)
-             AS pop_mean_milli,
-           CAST(ABS(per.sum_cents * 1000 // per.n_sample
-                    - pop.pop_sum * 1000 // pop.n_pop) * 1000000
-                // (pop.pop_sum * 1000 // pop.n_pop) AS BIGINT) AS bias_ppm
-    FROM per CROSS JOIN pop
-    ORDER BY sample_offset
+    SELECT off AS sample_offset,
+           n_sample,
+           CAST(samp_mean_milli AS BIGINT) AS samp_mean_milli,
+           CAST(pop_mean_milli AS BIGINT) AS pop_mean_milli,
+           CAST(ABS(samp_mean_milli - pop_mean_milli) * 1000000
+                // pop_mean_milli AS BIGINT) AS bias_ppm
+    FROM m ORDER BY sample_offset
     """,
     tags=("sampling", "systematic", "design-audit", "bias"),
 )
 def q436_systematic_sample_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Systematic (every-k-th) sampling audit: o_orderkey % {_SYS_K}
-    splits the order stream into {_SYS_K} interleaved samples — a
-    valid design exactly because q430 certifies the keyspace dense
-    and gap-free. Each offset row compares its sample mean order
-    value (exact integer milli-cents through the attested
-    DOUBLE -> DECIMAL(18,2) money lane) against the population mean,
-    with the relative bias in truncating ppm; the spread across the
-    {_SYS_K} offsets is the empirical design effect — tight spread
-    certifies modulo sampling for cheap dashboards, one hot offset
-    reveals keyspace periodicity that would silently bias them.
+    """Systematic (every-k-th) sampling audit: o_orderkey % 10 splits
+    the order stream into 10 interleaved samples — a valid design
+    exactly because q430 certifies the keyspace dense and gap-free.
+    Each offset row compares its sample mean order value (exact
+    integer milli-cents through the attested DOUBLE -> DECIMAL(18,2)
+    money lane) against the population mean, with the relative bias
+    in truncating ppm; the spread across the 10 offsets is the
+    empirical design effect — tight spread certifies modulo sampling
+    for cheap dashboards, one hot offset reveals keyspace
+    periodicity that would silently bias them. Means use the
+    split-division identity (sum div n)*1000 + (sum mod n)*1000 div n
+    == sum*1000 div n, so no intermediate ever exceeds the cent sums
+    themselves — BIGINT-safe past 10^9 orders, where a naive
+    sum*1000 product would wrap.
 
-    Scale: one scan, one (offset)-grain aggregate with map-side
-    combine, a {_SYS_K}-row re-aggregate broadcast back. No windows,
-    no shuffle beyond the {_SYS_K}-key exchange."""
+    Scale: ONE scan (the offset-grain aggregate persists; the 10-row
+    population re-aggregate and the final projection read the cache),
+    map-side combine, a 10-row broadcast back. No windows, no shuffle
+    beyond the 10-key exchange."""
     per = (
         load(spark, sf_dir, "orders")
         .select(
@@ -275,30 +287,45 @@ def q436_systematic_sample_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_sample"),
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
+        .persist()
     )
     pop = per.agg(
         F.sum("n_sample").cast("bigint").alias("n_pop"),
         F.sum("sum_cents").cast("bigint").alias("pop_sum"),
     )
-    return (
+    from ..functions.caching import tag_intermediates
+
+    out = (
         per.crossJoin(F.broadcast(pop))
         .select(
             "sample_offset",
             "n_sample",
-            F.expr("CAST(sum_cents * 1000 div n_sample AS BIGINT)").alias(
-                "samp_mean_milli"
-            ),
-            F.expr("CAST(pop_sum * 1000 div n_pop AS BIGINT)").alias(
-                "pop_mean_milli"
-            ),
             F.expr(
-                "CAST(ABS(sum_cents * 1000 div n_sample"
-                " - pop_sum * 1000 div n_pop) * 1000000"
-                " div (pop_sum * 1000 div n_pop) AS BIGINT)"
+                "(sum_cents div n_sample) * 1000"
+                " + (sum_cents % n_sample) * 1000 div n_sample"
+            )
+            .cast("bigint")
+            .alias("samp_mean_milli"),
+            F.expr(
+                "(pop_sum div n_pop) * 1000"
+                " + (pop_sum % n_pop) * 1000 div n_pop"
+            )
+            .cast("bigint")
+            .alias("pop_mean_milli"),
+        )
+        .select(
+            "sample_offset",
+            "n_sample",
+            "samp_mean_milli",
+            "pop_mean_milli",
+            F.expr(
+                "CAST(ABS(samp_mean_milli - pop_mean_milli) * 1000000"
+                " div pop_mean_milli AS BIGINT)"
             ).alias("bias_ppm"),
         )
         .orderBy("sample_offset")
     )
+    return tag_intermediates(out, per)
 
 
 # ---------------------------------------------------------------------------
