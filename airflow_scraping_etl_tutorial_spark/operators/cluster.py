@@ -155,6 +155,15 @@ def dedup_keep_canonical(
 
     Returns docs + `component_id` + `is_canonical`; filtering on
     is_canonical yields the deduplicated corpus.
+
+    Fail-loud contract (round-9 ADVICE, intentional): if the pair
+    graph somehow exhausts connected_components' alternation budget
+    (64 large-star/small-star rounds — astronomically beyond any real
+    graph's O(log^2 n) need), this RAISES ValueError rather than
+    returning partial labels. An under-merged dedup silently KEEPS
+    duplicate documents — corrupting the training corpus downstream —
+    which is strictly worse than a failed job; callers wanting
+    best-effort labels must catch and decide explicitly.
     """
     comp = connected_components(near_dup_pairs)
     joined = docs.join(

@@ -65,14 +65,17 @@ def assign_argmax_cosine(
     zero-vector case (all scores 0.0 -> smallest cid, matching the
     window's all-NaN ordering) and the all-NULL case (null/mismatched
     embedding -> fall back to the smallest centroid_id, matching
-    NULLS LAST). Assumes centroid ids are nonnegative (the -1 fold
-    sentinel) and the model is non-empty.
+    NULLS LAST). The fold's not-yet-assigned state is a NULL score
+    (round-9 ADVICE: no id-space sentinel — negative centroid ids are
+    legal, and the cid is cast to long in the packed model so an
+    int-typed id column cannot struct-coerce against the fold init).
+    Assumes the model is non-empty; the returned id column is long.
     """
     packed = cents.agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    F.col(out_cid).alias("cid"),
+                    F.col(out_cid).cast("long").alias("cid"),
                     as_double(F.col("c_emb")).alias("ce"),
                 )
             )
@@ -97,10 +100,12 @@ def assign_argmax_cosine(
     best = F.aggregate(
         scored,
         F.struct(
-            F.lit(float("-inf")).cast("double").alias("s"),
-            F.lit(-1).cast("long").alias("cid"),
+            F.lit(None).cast("double").alias("s"),
+            F.lit(None).cast("long").alias("cid"),
         ),
-        lambda acc, s: F.when(s["s"] > acc["s"], s).otherwise(acc),
+        lambda acc, s: F.when(
+            s["s"].isNotNull() & (acc["s"].isNull() | (s["s"] > acc["s"])), s
+        ).otherwise(acc),
     )
     return (
         df.crossJoin(F.broadcast(packed))
@@ -108,7 +113,7 @@ def assign_argmax_cosine(
         .withColumn(
             out_cid,
             F.when(
-                F.col("_best.cid") == -1, F.element_at("_cl", 1)["cid"]
+                F.col("_best.cid").isNull(), F.element_at("_cl", 1)["cid"]
             ).otherwise(F.col("_best.cid")),
         )
         .drop("_cl", "_best")

@@ -14,13 +14,9 @@ tokenizer economics, and conversion effort —
   with the exact nearest-rank median; the product-analytics
   "how much does a conversion cost in attention" table.
 
-This module is in registry.STAGED_MODULES, not yet _QUERY_MODULES
-(same staging protocol as waves 12-63): value-checked via
-
-    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops63 \\
-        python tools/check_correctness.py /root/testdata/sf0.01
-
-and by tests/test_staged_wave64.py; round 10 promotes it with one line.
+Promoted into registry._QUERY_MODULES in round 10 (staged in
+round 9 under the same protocol as waves 12-63); value-checked by
+tools/check_correctness.py and tests/test_staged_wave64.py.
 
 Output-hardening doctrine (as waves 6-63): profile counts are exact
 (COUNT DISTINCT, not approx) with truncating ppm shares; fertility

@@ -21,13 +21,9 @@ sampling-design audits, and temporal data contracts —
   q401's composite-key finding, the audit is the contract, not the
   assumption.
 
-This module is in registry.STAGED_MODULES, not yet _QUERY_MODULES
-(same staging protocol as waves 12-64): value-checked via
-
-    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops64 \\
-        python tools/check_correctness.py /root/testdata/sf0.01
-
-and by tests/test_staged_wave65.py; round 10 promotes it with one line.
+Promoted into registry._QUERY_MODULES in round 10 (staged in
+round 9 under the same protocol as waves 12-63); value-checked by
+tools/check_correctness.py and tests/test_staged_wave65.py.
 
 Output-hardening doctrine (as waves 6-64): epoch-day arithmetic via
 DATEDIFF from 1970-01-01 on DATE casts (the q431 lane); money enters

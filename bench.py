@@ -72,13 +72,36 @@ def _reference_timings(repo: str) -> dict[str, float]:
     measured there (r05 fixed the cold-per-query methodology; earlier
     rounds are not comparable), else the query's FIRST sf0.1
     measurement in any later round. New headline entries therefore
-    self-baseline the round they land."""
+    self-baseline the round they land.
+
+    Only git-TRACKED artifacts qualify (round-9 ADVICE): the driver
+    commits each round's BENCH_r{N}.json, so an untracked/stale local
+    file (e.g. this round's own in-progress output) must not silently
+    become a gate reference. Outside a git checkout (or if git is
+    unavailable) fall back to the glob — the gate is advisory there."""
     import glob
     import re
+    import subprocess
+
+    tracked: set[str] | None = None
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "ls-files", "BENCH_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode == 0:
+            tracked = {line.strip() for line in out.stdout.splitlines() if line.strip()}
+    except (OSError, subprocess.SubprocessError):
+        tracked = None
 
     paths = []
     for path in glob.glob(os.path.join(repo, "BENCH_r*.json")):
-        m = re.search(r"r(\d+)", os.path.basename(path))
+        base = os.path.basename(path)
+        if tracked is not None and base not in tracked:
+            continue
+        m = re.search(r"r(\d+)", base)
         if m and int(m.group(1)) >= 5:
             paths.append((int(m.group(1)), path))
     refs: dict[str, float] = {}

@@ -54,6 +54,40 @@ def test_r05_baseline_wins_over_later_rounds():
         )
 
 
+def test_untracked_artifacts_never_become_references(tmp_path):
+    """Round-9 ADVICE: an untracked BENCH_r*.json in the working tree
+    (e.g. the current round's own in-progress output) must not become a
+    gate reference — only driver-committed artifacts qualify. Outside a
+    git checkout the glob fallback applies (gate is advisory there)."""
+    import subprocess
+
+    payload = {"parsed": {"sf": 0.1, "queries": {"q_a": 1.0}}}
+    untracked = {"parsed": {"sf": 0.1, "queries": {"q_b": 1.0}}}
+
+    # no git repo at all -> fallback sees both
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    (plain / "BENCH_r05.json").write_text(json.dumps(payload))
+    (plain / "BENCH_r06.json").write_text(json.dumps(untracked))
+    assert set(_reference_timings(str(plain))) == {"q_a", "q_b"}
+
+    # git repo: only the committed artifact qualifies
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    env_git = ["git", "-C", str(repo)]
+    subprocess.run(env_git + ["init", "-q"], check=True)
+    (repo / "BENCH_r05.json").write_text(json.dumps(payload))
+    subprocess.run(env_git + ["add", "BENCH_r05.json"], check=True)
+    subprocess.run(
+        env_git
+        + ["-c", "user.name=t", "-c", "user.email=t@t", "commit", "-qm", "ref"],
+        check=True,
+    )
+    (repo / "BENCH_r06.json").write_text(json.dumps(untracked))
+    refs = _reference_timings(str(repo))
+    assert set(refs) == {"q_a"}
+
+
 def test_pre_r05_rounds_excluded():
     """r01-r04 used a different (warm-cache) methodology; their numbers
     must never become references even for queries they contain."""

@@ -387,6 +387,49 @@ def test_argmax_assignment_null_embedding_falls_back_low(spark):
     assert got[3] == 3  # zero vector: all scores 0.0 -> smallest cid
 
 
+def test_argmax_assignment_negative_and_int_typed_cids(spark):
+    """Round-9 ADVICE: the fold's unassigned state is a NULL score, not
+    an id-space sentinel — a legal -1 centroid id must win its argmax
+    (never be remapped to the smallest cid), and an int-typed id column
+    must not struct-coerce against the long fold init."""
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        assign_argmax_cosine,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("_e", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    cents = spark.createDataFrame(
+        [(-1, [1.0, 0.0]), (5, [0.0, 1.0])],
+        StructType(
+            [
+                StructField("centroid_id", IntegerType()),
+                StructField("c_emb", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    out = assign_argmax_cosine(vecs, "_e", cents)
+    assert dict(out.dtypes)["centroid_id"] == "bigint"
+    got = {r.vec_id: r.centroid_id for r in out.collect()}
+    assert got[1] == -1  # -1 is a real winning id, not a sentinel
+    assert got[2] == 5
+    assert got[3] == -1  # null embedding -> smallest cid
+
+
 def test_connected_components_long_path(spark):
     """A 41-node path has diameter 40: plain min-label propagation
     needs 40 rounds (and silently returned non-converged labels past

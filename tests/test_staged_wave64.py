@@ -33,18 +33,13 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, _REGISTRY[name], SF_DIR)
 
 
-def test_staged_wave64_not_registered_in_driver_contract(monkeypatch):
-    """Wave 64 stays staged until round 10. Attestation-invariant form."""
+def test_staged_wave64_registered_in_driver_contract(monkeypatch):
+    """Round 10 promoted wave 64 into the driver contract. Membership +
+    tiering only (attestation-invariant — the round-6 lesson)."""
     monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
-    from airflow_scraping_etl_tutorial_spark.plans.registry import (
-        _QUERY_MODULES,
-        STAGED_MODULES,
-        all_queries,
-    )
+    from staged_oracle import assert_live_and_tiered
 
-    assert "llm_ops63" not in ",".join(_QUERY_MODULES)
-    assert any(m.endswith("llm_ops63") for m in STAGED_MODULES)
-    assert not set(all_queries()) & set(STAGED)
+    assert_live_and_tiered(STAGED, "llm_ops63")
 
 
 # ---------------------------------------------------------------------------
