@@ -334,11 +334,11 @@ AUDITED = (
     "q429_oov_rate",
     "q430_keyspace_holes",
     "q431_popularity_baseline_hitrate",
-    # staged wave 64 (plans/llm_ops63.py)
+    # wave 64 (plans/llm_ops63.py, promoted r10)
     "q432_data_dictionary",
     "q433_tokenizer_fertility",
     "q434_effort_to_convert",
-    # staged wave 65 (plans/llm_ops64.py)
+    # wave 65 (plans/llm_ops64.py, promoted r10)
     "q435_littles_law_flow_identity",
     "q436_systematic_sample_bias",
     "q437_temporal_integrity_audit",
