@@ -80,3 +80,25 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSONL sink (newline-delimited JSON part files)."""
     df.write.mode(mode).json(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row"
+) -> DataFrame:
+    """XML source via Spark 4's NATIVE xml data source (spark-xml was
+    merged upstream in 4.0 — no external jar, unlike Avro/Kafka which
+    stay import-gated here). Schema is inferred per element under
+    ``row_tag``; pass an explicit ``.schema(...)`` upstream when scans
+    must prune (XML is row-wise text — at 100 TB prefer converting to
+    parquet once and scanning that; this reader is the ingest edge,
+    not the hot path)."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (native Spark 4 writer; one ``row_tag`` element per
+    row). Complex types are nested elements; None fields are omitted —
+    a read-back therefore infers the union of present fields."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

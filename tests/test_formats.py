@@ -1,5 +1,5 @@
 """Source/sink format coverage: JSONL (with corrupt-record quarantine),
-plain text with provenance, ORC and JSON round-trips."""
+plain text with provenance, ORC, JSON and XML round-trips."""
 
 from __future__ import annotations
 
@@ -10,7 +10,9 @@ from airflow_scraping_etl_tutorial_spark.sources.corpus import (
     jsonl_quality_split,
     read_jsonl_corpus,
     read_text_corpus,
+    read_xml,
     write_jsonl,
+    write_xml,
 )
 from airflow_scraping_etl_tutorial_spark.sources.tables import load
 
@@ -70,6 +72,37 @@ def test_json_typed_round_trip(spark, tmp_path):
     assert sorted(r.n_name for r in back.collect()) == sorted(
         r.n_name for r in nation.collect()
     )
+
+
+def test_xml_round_trip(spark, tmp_path):
+    """Spark 4 ships XML natively (spark-xml merged upstream) — unlike
+    Avro there is no jar gate. Values and explicit-schema read-back
+    must survive a write/read cycle."""
+    nation = load(spark, SF_DIR, "nation")
+    p = str(tmp_path / "nation_xml")
+    write_xml(nation, p, row_tag="nation")
+    back = read_xml(spark, p, row_tag="nation")
+    # inferred schema types may widen (int -> long); compare values
+    # through the original schema
+    back = spark.read.format("xml").option("rowTag", "nation").schema(
+        nation.schema
+    ).load(p)
+    assert back.schema == nation.schema
+    assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == sorted(
+        (r.n_nationkey, r.n_name) for r in nation.collect()
+    )
+
+
+def test_xml_custom_row_tag_and_projection(spark, tmp_path):
+    """row_tag selects the repeated element; a projected read returns
+    only the asked-for fields (column pruning happens post-parse for
+    row-wise text formats — the docstring's convert-to-parquet advice)."""
+    region = load(spark, SF_DIR, "region")
+    p = str(tmp_path / "region_xml")
+    write_xml(region, p, row_tag="r")
+    got = read_xml(spark, p, row_tag="r").select("r_name")
+    assert set(got.columns) == {"r_name"}
+    assert got.count() == region.count()
 
 
 def test_avro_gated(spark, tmp_path):
