@@ -179,6 +179,59 @@ def test_stateful_user_totals_matches_batch(spark, events_dir):
     }
 
 
+def test_stateful_user_totals_tws_matches_batch(spark, events_dir):
+    """The transformWithStateInPandas twin must satisfy the SAME
+    stream==batch contract as the applyInPandasWithState form. It only
+    runs on the RocksDB state store provider — set for this query and
+    restored after (other streaming tests keep the default provider).
+
+    Environment-gated: the TWS state server needs the Python protobuf
+    package (absent in this sandbox — its lack crashes the planning-
+    time driver worker); skip until it appears, like the Avro jar."""
+    import importlib.util
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        pytest.skip(
+            "python protobuf package absent — transformWithState's "
+            "state-server protocol cannot initialize (probed r10)"
+        )
+    from airflow_scraping_etl_tutorial_spark.streaming.events import (
+        stateful_user_totals_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_from_dir(spark, events_dir)
+        got = _run_to_memory(
+            spark, stateful_user_totals_tws(stream), "totals_tws", "update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    final = {}
+    for r in got.collect():
+        final[r.user_id] = (r.n_events, round(r.total_value, 6))
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    )
+    expected = {r.user_id: (r.n, r.v) for r in batch.collect()}
+    assert final == expected
+
+
 def test_sliding_counts_stream_runs(spark, events_dir):
     from airflow_scraping_etl_tutorial_spark.streaming.events import sliding_counts
 
