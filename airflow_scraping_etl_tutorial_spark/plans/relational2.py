@@ -428,17 +428,25 @@ def q48_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q49_in_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery + scalar subquery through SQL (Catalyst rewrites IN
-    to a left-semi join, the scalar to a broadcast)."""
+    to a left-semi join, the scalar to a broadcast). The region key is
+    bound via NAMED PARAMETERIZED SQL (spark.sql args=...) — the
+    engine-native, injection-safe analog of the reference's Airflow
+    parameter templating (P11; Final_app.py templates the run date the
+    string-interpolation way): the literal reaches Catalyst as a typed
+    parameter node, is constant-folded, and still prunes/pushes down
+    exactly like an inline literal."""
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(
         """
         SELECT s_suppkey, s_name
         FROM supplier
-        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = :region)
           AND s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2)
         ORDER BY s_suppkey
-        """
+        """,
+        args={"region": 2},
     )
 
 
