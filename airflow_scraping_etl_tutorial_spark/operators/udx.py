@@ -218,3 +218,36 @@ def zscore_per_group_exact(
         )
 
     return df.groupBy(key).applyInPandas(normalize, schema=out_schema)
+
+
+def register_sql_udfs(spark) -> None:
+    """SQL UDFs (Spark 4, SPARK-46246): the newest member of the UDF
+    family and the only one that is PURE CATALYST — the body is a SQL
+    expression inlined at analysis time, so calls stay inside
+    whole-stage codegen with ZERO Python workers (the plan shows no
+    BatchEvalPython/ArrowEvalPython node; asserted in tests). Prefer
+    this kind whenever the logic is expressible as one expression:
+    it packages reuse like a UDF but costs like a built-in at 100 TB.
+
+    Registers the repo's two signature scalar transforms:
+    - de_comma_money(s): the P3 scrub — strip thousands separators,
+      cast Decimal(38,0) (reference: scrapy notebook's int(x.replace
+      (',',''))); NULL-safe, non-numeric input -> NULL via try_cast.
+    - is_market_open(stat): the P8 predicate — TWSE payload stat
+      field equals 'OK' (Final_app.py branches on the same value).
+    Temporary functions: per-session, call from any spark.sql query.
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION de_comma_money(s STRING)
+        RETURNS DECIMAL(38,0)
+        RETURN TRY_CAST(replace(s, ',', '') AS DECIMAL(38,0))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_market_open(stat STRING)
+        RETURNS BOOLEAN
+        RETURN stat = 'OK'
+        """
+    )
