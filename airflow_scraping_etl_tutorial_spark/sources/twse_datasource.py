@@ -1,0 +1,114 @@
+"""The TWSE feed as a FIRST-CLASS Spark data source (Python Data
+Source API, Spark 4.0 / SPARK-44076).
+
+The reference scrapes inside an Airflow PythonOperator (Final_app.py's
+crawl task); sources/twse.py already re-homes that as driver fetch +
+mapInPandas fan-out. This module is the third and most Spark-native
+form: ``spark.read.format("twse").option("dates", ...)`` — the feed
+becomes a planned SCAN, one input partition per trading day, so
+Catalyst sees it like any other source (the date list is the
+partitioning, 5k backfill days = 5k partitions scheduled like scan
+tasks; column pruning/limits compose above it).
+
+Two transports, selected by ``option("source", ...)``:
+- ``golden`` (default): replays the committed golden payloads by date
+  — the fully-offline test seam, same doctrine as jobs/daily_load.
+- ``http``: the real endpoint (reference URL shape), executor-side,
+  one request per partition; unreachable/malformed days yield a
+  stat=NULL row so the P7 schema gate routes them to the alert path
+  instead of failing the scan (same contract as
+  twse.fetch_payloads_distributed).
+
+Output schema == sources/twse.py::PAYLOAD_SCHEMA, so the existing
+pipeline composes directly: ``clean_long(spark.read.format("twse")...
+.load())`` is the reference's crawl->clean hop with zero glue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# DDL mirror of twse.PAYLOAD_SCHEMA (the DataSource API takes a schema
+# string; keep in lockstep — test_twse_datasource asserts equality).
+PAYLOAD_DDL = (
+    "stat string, title string, fields array<string>, date string, "
+    "data array<array<string>>, params map<string,string>, "
+    "notes array<string>"
+)
+
+
+class _DatePartition(InputPartition):
+    def __init__(self, date: str):
+        self.date = date
+
+
+class TwseDataSource(DataSource):
+    """format name: ``twse``. Options: ``dates`` (comma-separated
+    yyyyMMdd, required), ``source`` (``golden``|``http``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "twse"
+
+    def schema(self) -> str:
+        return PAYLOAD_DDL
+
+    def reader(self, schema) -> "TwseReader":
+        return TwseReader(self.options)
+
+
+class TwseReader(DataSourceReader):
+    def __init__(self, options):
+        dates = options.get("dates", "")
+        if not dates:
+            raise ValueError("twse source requires option('dates', 'd1,d2,...')")
+        self._dates = [d.strip() for d in dates.split(",") if d.strip()]
+        self._source = options.get("source", "golden")
+
+    def partitions(self):
+        # one partition per trading day: a 20-year backfill becomes
+        # ~5k independent scan tasks, scheduled/retried like any scan
+        return [_DatePartition(d) for d in self._dates]
+
+    def read(self, partition: _DatePartition):
+        payload = _payload_for(partition.date, self._source)
+        yield (
+            payload.get("stat"),
+            payload.get("title"),
+            payload.get("fields"),
+            payload.get("date"),
+            payload.get("data"),
+            payload.get("params"),
+            payload.get("notes"),
+        )
+
+
+def _payload_for(date: str, source: str) -> dict:
+    if source == "golden":
+        from .golden import GOLDEN_CLOSED, GOLDEN_OK, GOLDEN_WRONG_ARITY
+
+        by_date = {
+            p["date"]: p for p in (GOLDEN_OK, GOLDEN_CLOSED, GOLDEN_WRONG_ARITY)
+        }
+        if date in by_date:
+            return by_date[date]
+        # unknown date in golden mode -> the closed-day shape for that
+        # date (deterministic; routes to the no-op path like P8)
+        return {
+            **GOLDEN_CLOSED,
+            "date": date,
+            "params": {"response": "json", "dayDate": date},
+        }
+    if source == "http":
+        from .twse import TWSE_URL, _http_get_json
+
+        try:
+            return _http_get_json(TWSE_URL.format(date=date))
+        except Exception:  # noqa: BLE001 — any transport failure
+            return {"stat": None, "date": date}
+    raise ValueError(f"unknown twse source {source!r} (golden|http)")
+
+
+def register(spark) -> None:
+    """Register the format with a session: spark.read.format('twse')."""
+    spark.dataSource.register(TwseDataSource)

@@ -1,0 +1,84 @@
+"""The twse Python data source (sources/twse_datasource.py): schema
+must equal the typed PAYLOAD_SCHEMA, partitioning must be one task per
+date, golden replay must agree with the payloads_to_df seam, and the
+source must compose with the existing pipeline (clean_long) with zero
+glue — the crawl->clean hop of the reference as a planned scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_scraping_etl_tutorial_spark.pipeline.investment import clean_long
+from airflow_scraping_etl_tutorial_spark.sources.golden import GOLDEN_OK
+from airflow_scraping_etl_tutorial_spark.sources.twse import (
+    PAYLOAD_SCHEMA,
+    payloads_to_df,
+)
+from airflow_scraping_etl_tutorial_spark.sources.twse_datasource import register
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _read(spark, dates, **opts):
+    r = spark.read.format("twse").option("dates", dates)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_schema_equals_typed_payload_schema(spark):
+    df = _read(spark, "20220819")
+    assert df.schema == PAYLOAD_SCHEMA
+
+
+def test_one_partition_per_date(spark):
+    df = _read(spark, "20220819,20220820,20100106")
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 3
+
+
+def test_golden_replay_agrees_with_payloads_to_df(spark):
+    via_source = _read(spark, "20220819").collect()
+    via_seam = payloads_to_df(spark, [GOLDEN_OK]).collect()
+    assert via_source == via_seam
+
+
+def test_unknown_date_yields_closed_shape_for_that_date(spark):
+    row = _read(spark, "20990101").collect()[0]
+    assert row.date == "20990101"
+    assert row.params["dayDate"] == "20990101"
+    assert row.data is None  # closed-day payload -> P8 no-op route
+
+
+def test_composes_with_pipeline_clean_long(spark):
+    """The source feeds the existing declarative pipeline directly:
+    the golden open day cleans to the same 12-row long frame as the
+    test-seam path."""
+    long_df = clean_long(_read(spark, "20220819,20220820"))
+    seam = clean_long(payloads_to_df(spark, [GOLDEN_OK]))
+    got = {
+        (r.unit_name): (int(r.buy), int(r.sell))
+        for r in long_df.collect()
+    }
+    want = {
+        (r.unit_name): (int(r.buy), int(r.sell))
+        for r in seam.collect()
+    }
+    assert got == want
+    assert long_df.count() == seam.count() > 0
+
+
+def test_missing_dates_option_fails_loudly(spark):
+    with pytest.raises(Exception, match="dates"):
+        spark.read.format("twse").load().collect()
+
+
+def test_limit_composes_above_the_scan(spark):
+    got = _read(spark, "20220819,20220820,20100106").limit(1).select(
+        F.col("date")
+    )
+    assert got.count() == 1
