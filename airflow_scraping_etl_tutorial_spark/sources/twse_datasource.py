@@ -26,7 +26,12 @@ pipeline composes directly: ``clean_long(spark.read.format("twse")...
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # DDL mirror of twse.PAYLOAD_SCHEMA (the DataSource API takes a schema
 # string; keep in lockstep — test_twse_datasource asserts equality).
@@ -44,7 +49,11 @@ class _DatePartition(InputPartition):
 
 class TwseDataSource(DataSource):
     """format name: ``twse``. Options: ``dates`` (comma-separated
-    yyyyMMdd, required), ``source`` (``golden``|``http``)."""
+    yyyyMMdd, required), ``source`` (``golden``|``http``),
+    ``batch_days`` (streaming only: max dates consumed per
+    micro-batch; default ALL available — the file-source convention,
+    so trigger(availableNow) drains in one batch; set 1 for the
+    strict daily cadence)."""
 
     @classmethod
     def name(cls) -> str:
@@ -55,6 +64,9 @@ class TwseDataSource(DataSource):
 
     def reader(self, schema) -> "TwseReader":
         return TwseReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "TwseStreamReader":
+        return TwseStreamReader(self.options)
 
 
 class TwseReader(DataSourceReader):
@@ -81,6 +93,73 @@ class TwseReader(DataSourceReader):
             payload.get("params"),
             payload.get("notes"),
         )
+
+
+class TwseStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING form of the feed (SimpleDataSourceStreamReader): the
+    reference's once-a-day cadence as a Structured Streaming source.
+    The offset is a cursor into the option-provided date list —
+    ``{"next_idx": n}`` — so progress is exactly-once and replayable:
+    ``read`` advances the cursor by ``batch_days`` (default: all
+    available, so availableNow drains in one batch; set 1 for the
+    strict one-day-per-micro-batch cadence) and
+    ``readBetweenOffsets`` re-yields any committed range
+    deterministically after a restart. In production the date list is
+    the trading calendar up to today; offline it is the test's golden
+    dates — same doctrine as the batch reader.
+
+    The simple (driver-side) reader variant is the honest choice for a
+    1-document-per-day feed: per-batch volume is tiny, so the
+    partition-planning machinery of the full DataSourceStreamReader
+    would buy nothing.
+    """
+
+    def __init__(self, options):
+        dates = options.get("dates", "")
+        if not dates:
+            raise ValueError("twse source requires option('dates', 'd1,d2,...')")
+        self._dates = [d.strip() for d in dates.split(",") if d.strip()]
+        self._source = options.get("source", "golden")
+        raw = options.get("batch_days")
+        self._batch_days = max(1, int(raw)) if raw else None  # None = all
+
+    def initialOffset(self) -> dict:
+        return {"next_idx": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next_idx"])
+        step = self._batch_days or len(self._dates)
+        hi = min(lo + step, len(self._dates))
+        return self._rows(lo, hi), {"next_idx": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["next_idx"]), int(end["next_idx"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing upstream to acknowledge; the cursor IS the state
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST ITERATOR, not a generator and not a bare list: the
+        # engine's prefetch cache (datasource_internal) both
+        # copy.copy()s the returned value AND calls next() on it —
+        # generators aren't copyable, lists aren't iterators; a
+        # list_iterator is both. At one document per day
+        # materializing is free anyway.
+        out = []
+        for date in self._dates[lo:hi]:
+            p = _payload_for(date, self._source)
+            out.append(
+                (
+                    p.get("stat"),
+                    p.get("title"),
+                    p.get("fields"),
+                    p.get("date"),
+                    p.get("data"),
+                    p.get("params"),
+                    p.get("notes"),
+                )
+            )
+        return iter(out)
 
 
 def _payload_for(date: str, source: str) -> dict:

@@ -82,3 +82,48 @@ def test_limit_composes_above_the_scan(spark):
         F.col("date")
     )
     assert got.count() == 1
+
+
+# -- streaming form ----------------------------------------------------------
+
+
+def _stream(spark, dates, **opts):
+    r = spark.readStream.format("twse").option("dates", dates)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_stream_available_now_drains_and_matches_batch(spark):
+    """trigger(availableNow) must drain the whole date list in one run
+    and produce exactly the batch reader's rows (stream==batch)."""
+    dates = "20220819,20220820,20100106"
+    q = (
+        _stream(spark, dates)
+        .writeStream.format("memory")
+        .queryName("twse_drain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM twse_drain").collect()))
+    want = sorted(map(tuple, _read(spark, dates).collect()))
+    assert got == want
+
+
+def test_stream_daily_cadence_one_date_per_batch(spark):
+    """batch_days=1: each micro-batch consumes exactly one trading day
+    (the reference's cadence); the cursor offset makes progress
+    exactly-once."""
+    q = (
+        _stream(spark, "20220819,20220820", batch_days="1")
+        .writeStream.format("memory")
+        .queryName("twse_daily")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(r.date for r in spark.sql("SELECT date FROM twse_daily").collect())
+    assert rows == ["20220819", "20220820"]
