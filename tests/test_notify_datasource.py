@@ -111,3 +111,42 @@ def test_missing_credentials_fail_loudly(spark):
     df = spark.createDataFrame([Row(text="x")])
     with pytest.raises(Exception, match="token"):
         df.write.format("telegram").mode("append").save()
+
+
+def test_reference_dag_as_pure_formats(spark, http_server):
+    """Capstone: the reference's crawl -> clean -> notify DAG expressed
+    ENTIRELY as Spark formats — read format('twse'), the declarative
+    pipeline transforms, write format('telegram') — with the success
+    message shape of Final_app.py's templated text."""
+    from pyspark.sql import functions as F
+
+    from airflow_scraping_etl_tutorial_spark.pipeline.investment import (
+        clean_long,
+    )
+    from airflow_scraping_etl_tutorial_spark.sources.twse_datasource import (
+        register as register_twse,
+    )
+
+    register_twse(spark)
+    base, rec = http_server
+    raw = spark.read.format("twse").option("dates", "20220819").load()
+    summary = (
+        clean_long(raw)
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.concat(
+                F.lit("day "), F.col("dt"), F.lit(" loaded ("),
+                F.col("n_rows"), F.lit(" rows)"),
+            ).alias("text")
+        )
+    )
+    (
+        summary.write.format("telegram")
+        .option("token", "T")
+        .option("chat_id", "c")
+        .option("api_base", base)
+        .mode("append")
+        .save()
+    )
+    assert [b["text"] for _, b in rec.requests] == ["day 20220819 loaded (4 rows)"]
