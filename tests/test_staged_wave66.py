@@ -1,0 +1,127 @@
+"""Staged wave-66 catalog entries (plans/llm_ops65.py): value-level
+oracle comparison at sf0.001 plus full python replays — the variant
+extraction replayed with the stdlib json module, the SQL-UDF de-comma
+totals replayed with int arithmetic over the comma-formatting
+round-trip."""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from airflow_scraping_etl_tutorial_spark.plans import llm_ops65  # noqa: F401  (registers)
+from airflow_scraping_etl_tutorial_spark.plans.llm_ops65 import _KEY_CAP
+from airflow_scraping_etl_tutorial_spark.plans.registry import _REGISTRY
+
+from staged_oracle import assert_matches_oracle, duck_views
+
+SF_DIR = "/root/testdata/sf0.001"
+
+STAGED = [
+    "q438_variant_json_extraction",
+    "q439_sql_udf_decomma_totals",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_views(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_query_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, _REGISTRY[name], SF_DIR)
+
+
+def test_staged_wave66_not_registered_in_driver_contract(monkeypatch):
+    """Wave 66 stays staged until round 11. Attestation-invariant form."""
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
+    from airflow_scraping_etl_tutorial_spark.plans.registry import (
+        _QUERY_MODULES,
+        STAGED_MODULES,
+        all_queries,
+    )
+
+    assert "llm_ops65" not in ",".join(_QUERY_MODULES)
+    assert any(m.endswith("llm_ops65") for m in STAGED_MODULES)
+    assert not set(all_queries()) & set(STAGED)
+
+
+# ---------------------------------------------------------------------------
+# Replays and invariants
+# ---------------------------------------------------------------------------
+
+
+def test_variant_extraction_python_replay(spark, duck):
+    """Build each order's document with the stdlib json module and
+    extract the same four values; the Spark VARIANT path must agree on
+    every row."""
+    base = duck.sql(
+        f"SELECT o_orderkey, o_orderstatus, "
+        f"CAST(o_totalprice AS DECIMAL(18,2)) AS total, o_orderpriority "
+        f"FROM orders WHERE o_orderkey <= {_KEY_CAP} ORDER BY o_orderkey"
+    ).fetchall()
+    want = {}
+    for key, status, total, prio in base:
+        doc = json.dumps(
+            {"status": status, "total": float(total), "tags": [status, prio]}
+        )
+        parsed = json.loads(doc)
+        want[key] = (
+            parsed["status"],
+            # float -> Decimal through the 2dp string, the same exact
+            # 2-decimal value both engines carry
+            Decimal(f"{parsed['total']:.2f}"),
+            parsed["tags"][1],
+            len(parsed["tags"]),
+        )
+    got = {
+        r.o_orderkey: (r.status, r.total, r.prio_tag, r.n_tags)
+        for r in _REGISTRY["q438_variant_json_extraction"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_sql_udf_totals_python_replay(spark, duck):
+    """Totals replay: sum of exact cents per status, with the comma
+    format round-trip applied in python (f'{cents:,}' -> strip ',')
+    to prove the round-trip is the identity the entry relies on."""
+    rows = duck.sql(
+        "SELECT o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT) FROM orders"
+    ).fetchall()
+    want: dict[str, list[int]] = {}
+    for status, cents in rows:
+        round_trip = int(f"{cents:,}".replace(",", ""))
+        assert round_trip == cents
+        want.setdefault(status, []).append(round_trip)
+    got = {
+        r.status: (int(r.total_cents), r.n_orders)
+        for r in _REGISTRY["q439_sql_udf_decomma_totals"].fn(spark, SF_DIR).collect()
+    }
+    assert got == {s: (sum(v), len(v)) for s, v in want.items()}
+
+
+def test_decomma_grouping_edges(spark):
+    """The grouping edges named in the entry docstring: 0, sub-1000,
+    and 15-digit values survive format -> de_comma unchanged."""
+    from airflow_scraping_etl_tutorial_spark.operators.udx import (
+        register_sql_udfs,
+    )
+
+    register_sql_udfs(spark)
+    got = spark.sql(
+        "SELECT de_comma_money(format_number(0, 0)) a, "
+        "de_comma_money(format_number(999, 0)) b, "
+        "de_comma_money(format_number(123456789012345, 0)) c"
+    ).collect()[0]
+    assert (got.a, got.b, got.c) == (
+        Decimal(0),
+        Decimal(999),
+        Decimal(123456789012345),
+    )

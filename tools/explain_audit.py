@@ -342,6 +342,9 @@ AUDITED = (
     "q435_littles_law_flow_identity",
     "q436_systematic_sample_bias",
     "q437_temporal_integrity_audit",
+    # staged wave 66 (plans/llm_ops65.py)
+    "q438_variant_json_extraction",
+    "q439_sql_udf_decomma_totals",
 )
 
 
