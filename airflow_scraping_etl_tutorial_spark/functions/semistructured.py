@@ -48,13 +48,21 @@ def variant_quarantine(
     return good, bad
 
 
-def variant_payload_fields(df: DataFrame, json_col: str) -> DataFrame:
+def variant_payload_fields(
+    df: DataFrame, json_col: str, strict: bool = True
+) -> DataFrame:
     """Schema-free extraction of the TWSE payload's scalar fields plus
     the row count of its ``data`` grid — the VARIANT counterpart of
     sources/twse.py::payloads_to_df's typed path (reference:
     scrapy_develop.ipynb cell-2 reads the same four things
-    positionally). One parse, four path reads."""
-    v = to_variant(F.col(json_col))
+    positionally). One parse, four path reads.
+
+    strict=False parses with ``try_parse_json`` so a malformed
+    document yields an all-NULL row instead of failing the scan — the
+    single-pass form of the quarantine posture (use
+    ``variant_quarantine`` when the malformed rows themselves are
+    needed)."""
+    v = to_variant(F.col(json_col), strict=strict)
     return df.select(
         F.variant_get(v, "$.stat", "string").alias("stat"),
         F.variant_get(v, "$.title", "string").alias("title"),

@@ -67,7 +67,16 @@ class _DeliverPartition:
     def deliver(self, iterator) -> _Delivered:
         n = 0
         for row in iterator:
-            self._notifier(str(row[self._text_col]))
+            text = row[self._text_col]
+            if text is None:
+                # fail-loud: a NULL message would otherwise POST the
+                # literal string 'None' to the chat — always a bug in
+                # the upstream projection, never a message to send
+                raise ValueError(
+                    f"telegram sink: NULL in text column "
+                    f"{self._text_col!r} — filter or coalesce upstream"
+                )
+            self._notifier(str(text))
             n += 1
         return _Delivered(n_sent=n)
 

@@ -47,6 +47,21 @@ class _DatePartition(InputPartition):
         self.date = date
 
 
+def _payload_row(p: dict) -> tuple:
+    """The ONE payload-dict -> PAYLOAD_DDL-row mapping, shared by the
+    batch and streaming readers so the tuple cannot drift from the
+    schema in one of them."""
+    return (
+        p.get("stat"),
+        p.get("title"),
+        p.get("fields"),
+        p.get("date"),
+        p.get("data"),
+        p.get("params"),
+        p.get("notes"),
+    )
+
+
 class TwseDataSource(DataSource):
     """format name: ``twse``. Options: ``dates`` (comma-separated
     yyyyMMdd, required), ``source`` (``golden``|``http``),
@@ -83,16 +98,7 @@ class TwseReader(DataSourceReader):
         return [_DatePartition(d) for d in self._dates]
 
     def read(self, partition: _DatePartition):
-        payload = _payload_for(partition.date, self._source)
-        yield (
-            payload.get("stat"),
-            payload.get("title"),
-            payload.get("fields"),
-            payload.get("date"),
-            payload.get("data"),
-            payload.get("params"),
-            payload.get("notes"),
-        )
+        yield _payload_row(_payload_for(partition.date, self._source))
 
 
 class TwseStreamReader(SimpleDataSourceStreamReader):
@@ -145,21 +151,12 @@ class TwseStreamReader(SimpleDataSourceStreamReader):
         # generators aren't copyable, lists aren't iterators; a
         # list_iterator is both. At one document per day
         # materializing is free anyway.
-        out = []
-        for date in self._dates[lo:hi]:
-            p = _payload_for(date, self._source)
-            out.append(
-                (
-                    p.get("stat"),
-                    p.get("title"),
-                    p.get("fields"),
-                    p.get("date"),
-                    p.get("data"),
-                    p.get("params"),
-                    p.get("notes"),
-                )
-            )
-        return iter(out)
+        return iter(
+            [
+                _payload_row(_payload_for(date, self._source))
+                for date in self._dates[lo:hi]
+            ]
+        )
 
 
 def _payload_for(date: str, source: str) -> dict:
@@ -182,9 +179,15 @@ def _payload_for(date: str, source: str) -> dict:
         from .twse import TWSE_URL, _http_get_json
 
         try:
-            return _http_get_json(TWSE_URL.format(date=date))
+            p = _http_get_json(TWSE_URL.format(date=date))
         except Exception:  # noqa: BLE001 — any transport failure
             return {"stat": None, "date": date}
+        # keep the row attributable to its trading day even when the
+        # payload omits/nulls 'date' (schema drift) — the same
+        # contract as twse.fetch_payloads_distributed's coalesce
+        if not p.get("date"):
+            p = {**p, "date": date}
+        return p
     raise ValueError(f"unknown twse source {source!r} (golden|http)")
 
 

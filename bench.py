@@ -74,42 +74,56 @@ def _reference_timings(repo: str) -> dict[str, float]:
     measurement in any later round. New headline entries therefore
     self-baseline the round they land.
 
-    Only git-TRACKED artifacts qualify (round-9 ADVICE): the driver
-    commits each round's BENCH_r{N}.json, so an untracked/stale local
-    file (e.g. this round's own in-progress output) must not silently
-    become a gate reference. Outside a git checkout (or if git is
-    unavailable) fall back to the glob — the gate is advisory there."""
+    Only git-COMMITTED artifact content qualifies (round-9 ADVICE,
+    hardened round 10): the driver commits each round's
+    BENCH_r{N}.json, so neither an untracked local file NOR a
+    tracked-but-locally-modified one (e.g. this round's in-progress
+    output overwriting a committed artifact) may become a gate
+    reference — each file's bytes are read from HEAD via `git show`,
+    never from the working tree. Outside a git checkout (or if git is
+    unavailable) fall back to the working-tree glob — the gate is
+    advisory there."""
     import glob
     import re
     import subprocess
 
-    tracked: set[str] | None = None
-    try:
-        out = subprocess.run(
-            ["git", "-C", repo, "ls-files", "BENCH_r*.json"],
-            capture_output=True,
-            text=True,
-            timeout=30,
-        )
-        if out.returncode == 0:
-            tracked = {line.strip() for line in out.stdout.splitlines() if line.strip()}
-    except (OSError, subprocess.SubprocessError):
-        tracked = None
-
-    paths = []
-    for path in glob.glob(os.path.join(repo, "BENCH_r*.json")):
-        base = os.path.basename(path)
-        if tracked is not None and base not in tracked:
-            continue
-        m = re.search(r"r(\d+)", base)
-        if m and int(m.group(1)) >= 5:
-            paths.append((int(m.group(1)), path))
-    refs: dict[str, float] = {}
-    for _, path in sorted(paths):
+    def _git(*args: str) -> str | None:
         try:
-            with open(path) as f:
-                parsed = json.load(f).get("parsed") or {}
-        except (OSError, ValueError):
+            out = subprocess.run(
+                ["git", "-C", repo, *args],
+                capture_output=True,
+                text=True,
+                timeout=30,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
+        return out.stdout if out.returncode == 0 else None
+
+    ls = _git("ls-files", "BENCH_r*.json")
+    sources: list[tuple[int, str, str | None]] = []  # (round, name, content)
+    if ls is not None:
+        for base in (line.strip() for line in ls.splitlines() if line.strip()):
+            m = re.search(r"r(\d+)", base)
+            if m and int(m.group(1)) >= 5:
+                # committed bytes, NOT the (possibly dirty) working tree
+                sources.append((int(m.group(1)), base, _git("show", f"HEAD:{base}")))
+    else:  # no git: advisory fallback to the working tree
+        for path in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+            base = os.path.basename(path)
+            m = re.search(r"r(\d+)", base)
+            if m and int(m.group(1)) >= 5:
+                try:
+                    with open(path) as f:
+                        sources.append((int(m.group(1)), base, f.read()))
+                except OSError:
+                    continue
+    refs: dict[str, float] = {}
+    for _, _, content in sorted(sources, key=lambda t: (t[0], t[1])):
+        if content is None:
+            continue
+        try:
+            parsed = json.loads(content).get("parsed") or {}
+        except ValueError:
             continue
         if parsed.get("sf") != 0.1:
             continue

@@ -87,6 +87,14 @@ def test_untracked_artifacts_never_become_references(tmp_path):
     refs = _reference_timings(str(repo))
     assert set(refs) == {"q_a"}
 
+    # tracked-but-dirty: overwriting the committed artifact in the
+    # working tree must NOT change the reference — content comes from
+    # HEAD via git show, never the working tree (round-10 hardening)
+    dirty = {"parsed": {"sf": 0.1, "queries": {"q_a": 999.0}}}
+    (repo / "BENCH_r05.json").write_text(json.dumps(dirty))
+    refs = _reference_timings(str(repo))
+    assert refs == {"q_a": 1.0}
+
 
 def test_pre_r05_rounds_excluded():
     """r01-r04 used a different (warm-cache) methodology; their numbers

@@ -81,9 +81,14 @@ def test_xml_round_trip(spark, tmp_path):
     nation = load(spark, SF_DIR, "nation")
     p = str(tmp_path / "nation_xml")
     write_xml(nation, p, row_tag="nation")
-    back = read_xml(spark, p, row_tag="nation")
-    # inferred schema types may widen (int -> long); compare values
-    # through the original schema
+    # the helper under test: inferred-schema read (types may widen,
+    # int -> long, so compare values not dtypes)
+    inferred = read_xml(spark, p, row_tag="nation")
+    assert set(inferred.columns) == set(nation.columns)
+    assert sorted(
+        (int(r.n_nationkey), r.n_name) for r in inferred.collect()
+    ) == sorted((int(r.n_nationkey), r.n_name) for r in nation.collect())
+    # explicit-schema read-back: exact schema round-trip
     back = spark.read.format("xml").option("rowTag", "nation").schema(
         nation.schema
     ).load(p)

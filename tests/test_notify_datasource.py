@@ -113,6 +113,24 @@ def test_missing_credentials_fail_loudly(spark):
         df.write.format("telegram").mode("append").save()
 
 
+def test_null_text_fails_instead_of_sending_none(spark, http_server):
+    """A NULL message is an upstream bug — the sink must raise, never
+    POST the literal string 'None' to the chat."""
+    base, rec = http_server
+    df = spark.createDataFrame([("ok",), (None,)], "text string")
+    with pytest.raises(Exception, match="(?i)null.*text"):
+        (
+            df.coalesce(1)
+            .write.format("telegram")
+            .option("token", "T")
+            .option("chat_id", "c")
+            .option("api_base", base)
+            .mode("append")
+            .save()
+        )
+    assert all(b["text"] != "None" for _, b in rec.requests)
+
+
 def test_reference_dag_as_pure_formats(spark, http_server):
     """Capstone: the reference's crawl -> clean -> notify DAG expressed
     ENTIRELY as Spark formats — read format('twse'), the declarative

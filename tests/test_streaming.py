@@ -222,14 +222,21 @@ def test_stateful_user_totals_tws_matches_batch(spark, events_dir):
             spark.conf.set(key, prev)
     final = {}
     for r in got.collect():
-        final[r.user_id] = (r.n_events, round(r.total_value, 6))
+        final[r.user_id] = (r.n_events, r.total_value)
     batch = (
         spark.read.parquet(events_dir)
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
     )
     expected = {r.user_id: (r.n, r.v) for r in batch.collect()}
-    assert final == expected
+    # counts exact; float sums approx — stream-side sequential pandas
+    # accumulation and batch-side tree aggregation legitimately differ
+    # in the last ulps, and rounding both to 6dp flips at boundaries
+    # (the sibling aIPWS test compares counts only for this reason)
+    assert set(final) == set(expected)
+    for u, (n, v) in expected.items():
+        assert final[u][0] == n
+        assert final[u][1] == pytest.approx(v, rel=1e-9, abs=1e-9)
 
 
 def test_sliding_counts_stream_runs(spark, events_dir):
