@@ -100,6 +100,7 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops62",  # wave 63, promoted r9
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops63",  # wave 64, promoted r10
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops64",  # wave 65, promoted r10
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops65",  # wave 66, promoted r11
 )
 
 # Staged waves: implemented, pytest-covered, strict-oracle-green, but
@@ -108,9 +109,7 @@ _QUERY_MODULES = (
 # audit, catalog lint, staged sweeps) loads them from here so the
 # list cannot drift between consumers. Promotion = move the module
 # name into _QUERY_MODULES above.
-STAGED_MODULES: tuple[str, ...] = (
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops65",  # wave 66, round 11
-)
+STAGED_MODULES: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -65,20 +65,23 @@ class _DeliverPartition:
         self._text_col = options.get("text_col", "text")
 
     def deliver(self, iterator) -> _Delivered:
-        n = 0
-        for row in iterator:
-            text = row[self._text_col]
-            if text is None:
-                # fail-loud: a NULL message would otherwise POST the
-                # literal string 'None' to the chat — always a bug in
-                # the upstream projection, never a message to send
-                raise ValueError(
-                    f"telegram sink: NULL in text column "
-                    f"{self._text_col!r} — filter or coalesce upstream"
-                )
+        # Validate the WHOLE partition before the first POST (round-10
+        # ADVICE): a NULL text is a deterministic upstream bug, so
+        # raising mid-iteration would let Spark's task retries
+        # re-deliver the rows already sent before failing again on the
+        # same NULL — duplicate chat messages for a permanent defect.
+        # The sink is documented alert-grain (a few rows per batch), so
+        # materializing the partition is free; fail-loud beats POSTing
+        # the literal string 'None'.
+        texts = [row[self._text_col] for row in iterator]
+        if any(t is None for t in texts):
+            raise ValueError(
+                f"telegram sink: NULL in text column "
+                f"{self._text_col!r} — filter or coalesce upstream"
+            )
+        for text in texts:
             self._notifier(str(text))
-            n += 1
-        return _Delivered(n_sent=n)
+        return _Delivered(n_sent=len(texts))
 
 
 class TelegramBatchWriter(DataSourceWriter):

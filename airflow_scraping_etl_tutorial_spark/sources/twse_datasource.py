@@ -104,15 +104,21 @@ class TwseReader(DataSourceReader):
 class TwseStreamReader(SimpleDataSourceStreamReader):
     """STREAMING form of the feed (SimpleDataSourceStreamReader): the
     reference's once-a-day cadence as a Structured Streaming source.
-    The offset is a cursor into the option-provided date list —
-    ``{"next_idx": n}`` — so progress is exactly-once and replayable:
-    ``read`` advances the cursor by ``batch_days`` (default: all
+    The offset is CONTENT-based — ``{"last_date": d}``, the last
+    consumed trading day (None before the first batch) — so progress
+    is exactly-once and replayable ACROSS restarts even when the
+    ``dates`` option grows between runs: a restart locates the
+    committed date in the current list (appending future days is the
+    normal evolution; a list that no longer contains the committed
+    date fails LOUDLY instead of silently re-reading or skipping days,
+    which is what a positional ``next_idx`` cursor would do — round-10
+    ADVICE). ``read`` advances by ``batch_days`` dates (default: all
     available, so availableNow drains in one batch; set 1 for the
-    strict one-day-per-micro-batch cadence) and
-    ``readBetweenOffsets`` re-yields any committed range
-    deterministically after a restart. In production the date list is
-    the trading calendar up to today; offline it is the test's golden
-    dates — same doctrine as the batch reader.
+    strict one-day-per-micro-batch cadence) and ``readBetweenOffsets``
+    re-yields any committed range deterministically after a restart.
+    In production the date list is the trading calendar up to today;
+    offline it is the test's golden dates — same doctrine as the batch
+    reader.
 
     The simple (driver-side) reader variant is the honest choice for a
     1-document-per-day feed: per-batch volume is tiny, so the
@@ -130,16 +136,44 @@ class TwseStreamReader(SimpleDataSourceStreamReader):
         self._batch_days = max(1, int(raw)) if raw else None  # None = all
 
     def initialOffset(self) -> dict:
-        return {"next_idx": 0}
+        return {"last_date": None}
+
+    def _idx_after(self, offset: dict) -> int:
+        """Index of the first UNCONSUMED date under `offset`. Fails
+        loudly when a committed date no longer exists in the current
+        list (incompatible restart) or when the offset shape is not
+        the content-based form this reader writes (e.g. a positional
+        next_idx checkpoint from an older build — a bare index cannot
+        be validated against a reordered list, so refuse it rather
+        than replay the wrong days)."""
+        if "last_date" not in offset:
+            raise ValueError(
+                f"twse stream: unrecognized checkpoint offset {offset!r} — "
+                "this reader commits {'last_date': <yyyyMMdd>}; start a "
+                "fresh checkpoint"
+            )
+        last = offset["last_date"]
+        if last is None:
+            return 0
+        try:
+            return self._dates.index(last) + 1
+        except ValueError:
+            raise ValueError(
+                f"twse stream restart: committed offset date {last!r} is "
+                "not in the current 'dates' option — the list changed "
+                "incompatibly (day removed/renamed); restore the committed "
+                "date or start a fresh checkpoint"
+            ) from None
 
     def read(self, start: dict):
-        lo = int(start["next_idx"])
+        lo = self._idx_after(start)
         step = self._batch_days or len(self._dates)
         hi = min(lo + step, len(self._dates))
-        return self._rows(lo, hi), {"next_idx": hi}
+        end = {"last_date": self._dates[hi - 1] if hi > 0 else None}
+        return self._rows(lo, hi), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._rows(int(start["next_idx"]), int(end["next_idx"]))
+        return self._rows(self._idx_after(start), self._idx_after(end))
 
     def commit(self, end: dict) -> None:
         pass  # nothing upstream to acknowledge; the cursor IS the state

@@ -63,6 +63,9 @@ HEADLINE = (
     "q296_ab_chisquare_conversion",  # exact-rational statistical test
     "q312_zorder_skipping_benefit",  # zone-map skipping audit
     "q331_conformal_coverage",  # histogram-guided order statistic
+    # Added round 11 (self-baselines in BENCH_r11 — first sf0.1
+    # measurement becomes its reference):
+    "q438_variant_json_extraction",  # VARIANT parse-once/typed-read path
 )
 
 
@@ -102,12 +105,33 @@ def _reference_timings(repo: str) -> dict[str, float]:
     ls = _git("ls-files", "BENCH_r*.json")
     sources: list[tuple[int, str, str | None]] = []  # (round, name, content)
     if ls is not None:
+        # ls-files paths are relative to `repo` (the cwd we pass via -C)
+        # while HEAD:<path> resolves from the repository ROOT — if repo
+        # is ever a subdirectory of a checkout the bare form misses
+        # every file. Prefix with the cwd's path-from-root so both
+        # agree (empty prefix at the root, i.e. today's layout).
+        prefix = (_git("rev-parse", "--show-prefix") or "").strip()
         for base in (line.strip() for line in ls.splitlines() if line.strip()):
             m = re.search(r"r(\d+)", base)
             if m and int(m.group(1)) >= 5:
                 # committed bytes, NOT the (possibly dirty) working tree
-                sources.append((int(m.group(1)), base, _git("show", f"HEAD:{base}")))
-    else:  # no git: advisory fallback to the working tree
+                sources.append(
+                    (int(m.group(1)), base, _git("show", f"HEAD:{prefix}{base}"))
+                )
+        if sources and all(content is None for _, _, content in sources):
+            # ls-files named artifacts but every HEAD read failed (e.g.
+            # staged-but-never-committed files): the gate must not
+            # silently become vacuous — warn and take the advisory
+            # working-tree fallback instead.
+            print(
+                "bench gate: git ls-files found BENCH artifacts but no "
+                "HEAD content resolved; falling back to working tree "
+                "(advisory references)",
+                file=sys.stderr,
+            )
+            ls = None
+            sources = []
+    if ls is None:  # no git (or unreadable HEAD): advisory working-tree fallback
         for path in glob.glob(os.path.join(repo, "BENCH_r*.json")):
             base = os.path.basename(path)
             m = re.search(r"r(\d+)", base)

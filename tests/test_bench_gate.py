@@ -96,6 +96,47 @@ def test_untracked_artifacts_never_become_references(tmp_path):
     assert refs == {"q_a": 1.0}
 
 
+def test_repo_as_git_subdirectory_still_resolves_references(tmp_path):
+    """Round-10 ADVICE: ls-files paths are cwd-relative while HEAD:<path>
+    resolves from the repository ROOT — if the bench repo is a
+    subdirectory of a checkout, the references must still resolve (via
+    the rev-parse --show-prefix prefix), not silently vanish."""
+    import subprocess
+
+    payload = {"parsed": {"sf": 0.1, "queries": {"q_a": 1.0}}}
+    root = tmp_path / "checkout"
+    sub = root / "nested" / "bench_repo"
+    sub.mkdir(parents=True)
+    git = ["git", "-C", str(root)]
+    subprocess.run(git + ["init", "-q"], check=True)
+    (sub / "BENCH_r05.json").write_text(json.dumps(payload))
+    subprocess.run(git + ["add", "-A"], check=True)
+    subprocess.run(
+        git + ["-c", "user.name=t", "-c", "user.email=t@t", "commit", "-qm", "ref"],
+        check=True,
+    )
+    assert _reference_timings(str(sub)) == {"q_a": 1.0}
+
+
+def test_staged_but_never_committed_falls_back_to_working_tree(tmp_path, capsys):
+    """If ls-files names artifacts but NONE resolve from HEAD (e.g. a
+    repo whose artifacts are staged but never committed), the gate must
+    warn and fall back to the advisory working-tree glob rather than
+    silently running with zero references."""
+    import subprocess
+
+    payload = {"parsed": {"sf": 0.1, "queries": {"q_a": 1.0}}}
+    repo = tmp_path / "staged_only"
+    repo.mkdir()
+    git = ["git", "-C", str(repo)]
+    subprocess.run(git + ["init", "-q"], check=True)
+    (repo / "BENCH_r05.json").write_text(json.dumps(payload))
+    subprocess.run(git + ["add", "BENCH_r05.json"], check=True)  # staged, no commit
+    refs = _reference_timings(str(repo))
+    assert refs == {"q_a": 1.0}
+    assert "falling back to working tree" in capsys.readouterr().err
+
+
 def test_pre_r05_rounds_excluded():
     """r01-r04 used a different (warm-cache) methodology; their numbers
     must never become references even for queries they contain."""

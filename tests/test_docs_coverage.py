@@ -22,9 +22,14 @@ def test_every_catalog_entry_documented_in_coverage_md():
     bare = set(re.findall(r"\bq(\d+)\b", cov))
     for a, b in re.findall(r"\bq(\d+)-q(\d+)\b", cov):
         bare |= {str(i) for i in range(int(a), int(b) + 1)}
-    missing = [
-        n
-        for n in sorted(all_queries())
-        if n not in mentioned and re.match(r"q(\d+)_", n).group(1) not in bare
-    ]
+    missing = []
+    for n in sorted(all_queries()):
+        if n in mentioned:
+            continue
+        m = re.match(r"q(\d+)_", n)
+        # a name that doesn't match the q<digits>_ convention can't be
+        # covered by a bare number or range — report it as missing
+        # instead of dying on .group(1) of None (round-10 ADVICE)
+        if m is None or m.group(1) not in bare:
+            missing.append(n)
     assert not missing, f"catalog entries absent from COVERAGE.md: {missing}"

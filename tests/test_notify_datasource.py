@@ -129,6 +129,11 @@ def test_null_text_fails_instead_of_sending_none(spark, http_server):
             .save()
         )
     assert all(b["text"] != "None" for _, b in rec.requests)
+    # whole-partition validation BEFORE the first POST (round-10
+    # ADVICE): the 'ok' row sharing the NULL's partition must never be
+    # delivered — otherwise Spark's task retries on this deterministic
+    # failure would re-send it once per attempt (duplicate alerts)
+    assert rec.requests == []
 
 
 def test_reference_dag_as_pure_formats(spark, http_server):

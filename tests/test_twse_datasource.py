@@ -127,3 +127,64 @@ def test_stream_daily_cadence_one_date_per_batch(spark):
     q.stop()
     rows = sorted(r.date for r in spark.sql("SELECT date FROM twse_daily").collect())
     assert rows == ["20220819", "20220820"]
+
+
+# -- offset semantics (content-based cursor, round-10 ADVICE) ----------------
+
+
+def _stream_reader(dates, **opts):
+    from airflow_scraping_etl_tutorial_spark.sources.twse_datasource import (
+        TwseStreamReader,
+    )
+
+    return TwseStreamReader({"dates": dates, **opts})
+
+
+def test_offset_is_content_based_and_survives_appended_dates():
+    """A restart that APPENDS future trading days to the dates option
+    (the normal calendar evolution) must resume exactly after the
+    committed date — no skip, no re-read."""
+    r1 = _stream_reader("20220819,20220820", batch_days="1")
+    rows, off = r1.read(r1.initialOffset())
+    assert [t[3] for t in rows] == ["20220819"]
+    assert off == {"last_date": "20220819"}
+    # restart with a longer list: the committed date is located by
+    # CONTENT, so the next batch is 20220820, not a positional guess
+    r2 = _stream_reader("20220819,20220820,20100106", batch_days="1")
+    rows2, off2 = r2.read(off)
+    assert [t[3] for t in rows2] == ["20220820"]
+    assert off2 == {"last_date": "20220820"}
+
+
+def test_offset_replay_between_offsets_is_content_addressed():
+    r = _stream_reader("20220819,20220820,20100106")
+    got = [
+        t[3]
+        for t in r.readBetweenOffsets(
+            {"last_date": "20220819"}, {"last_date": "20100106"}
+        )
+    ]
+    assert got == ["20220820", "20100106"]
+
+
+def test_offset_with_removed_committed_date_fails_loudly():
+    r = _stream_reader("20220820,20100106")
+    with pytest.raises(ValueError, match="not in the current 'dates'"):
+        r.read({"last_date": "20220819"})
+
+
+def test_legacy_positional_offset_is_refused():
+    """A pre-round-11 positional cursor cannot be validated against a
+    possibly-reordered list — refuse it instead of replaying the wrong
+    days."""
+    r = _stream_reader("20220819,20220820")
+    with pytest.raises(ValueError, match="unrecognized checkpoint offset"):
+        r.read({"next_idx": 1})
+
+
+def test_drained_stream_offset_is_stable():
+    r = _stream_reader("20220819,20220820")
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == 2 and off == {"last_date": "20220820"}
+    rows2, off2 = r.read(off)
+    assert list(rows2) == [] and off2 == off
