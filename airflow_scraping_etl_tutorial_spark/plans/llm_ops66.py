@@ -1,0 +1,229 @@
+"""LLM-ops wave 67 (STAGED for round-12 registration): driver stamps
+for four Spark-4-native SQL engine surfaces no existing entry covers —
+
+- q440: RECURSIVE CTE (SPARK-24497, new in Spark 4) — an exact-decimal
+  amortization schedule: the anchor seeds a principal aggregated from
+  the orders fixture, each recursion level accrues interest and
+  subtracts a fixed payment until the balance crosses zero. Iteration
+  as a DECLARATIVE plan (UnionLoop), not a driver-side Python loop —
+  the engine surface the q90/q226/q250 contraction loops deliberately
+  do NOT use (their oracle side always was WITH RECURSIVE; this entry
+  closes the loop by running the same construct on the Spark side).
+- q441: SQL PIPE syntax (SPARK-49555, |> operators) — the q04-family
+  filter -> AGGREGATE ... GROUP BY -> ORDER BY pricing shape written
+  in pipe form; the oracle is the classic ANSI equivalent, so the
+  entry proves the pipe parser lowers to the identical semantics.
+- q442: listagg(...) WITHIN GROUP (ORDER BY ...) (SPARK-42746) — the
+  ANSI ordered string aggregation, vs DuckDB's string_agg(x, sep ORDER
+  BY x). Determinism comes from the mandated WITHIN GROUP order plus a
+  pre-DISTINCT subquery (no reliance on input order).
+- q443: SQL SCRIPTING (SPARK-48338, BEGIN/DECLARE/WHILE) — an
+  iterative doubling threshold search (smallest power-of-two price
+  cutoff with fewer than 100 orders above it) where the WHILE
+  condition is a scalar subquery over the fixture; the oracle computes
+  the same fixpoint closed-form over a bit-shifted power ladder.
+  Control flow executes ENGINE-side per statement — no Python between
+  iterations.
+
+This module is in registry.STAGED_MODULES, not yet _QUERY_MODULES
+(same staging protocol as waves 12-66): value-checked via
+
+    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops66 \\
+        python tools/check_correctness.py /root/testdata/sf0.01
+
+and by tests/test_staged_wave67.py; round 12 promotes it with one line.
+
+Output-hardening doctrine (as waves 6-66): money stays in the decimal
+lane end-to-end (DECIMAL(18,2) balances, explicit CAST after every
+arithmetic step so the recursion's column types equal the anchor's);
+every aggregate cast on BOTH sides (DuckDB SUM(BIGINT) is HUGEINT);
+no POW anywhere (the power ladder is a bit shift on the oracle side
+and engine-side doubling on the Spark side); recursion depth is
+bounded far under spark.sql.cteRecursionLevelLimit (default 100).
+
+Reference parity: the reference's only iteration is Airflow's daily
+re-run of the whole DAG (dags/Final_app.py schedule_interval) — it has
+no in-query iteration at all. These entries are the engine-native
+iteration/composition surfaces a user outgrowing that one-row-a-day
+loop reaches for first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load
+from .registry import query
+
+_PRINCIPAL_KEY_CAP = 64  # orders slice whose revenue seeds the principal
+_AMORT_SQL = """
+WITH RECURSIVE p AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS principal
+  FROM orders
+  WHERE o_orderkey <= {cap}
+),
+pay AS (
+  SELECT principal,
+         CAST(ROUND(principal * 0.03, 2) AS DECIMAL(18,2)) AS payment
+  FROM p
+),
+sched(n, balance) AS (
+  SELECT 0, principal FROM pay
+  UNION ALL
+  SELECT s.n + 1,
+         CAST(s.balance
+              + CAST(ROUND(s.balance * 0.005, 2) AS DECIMAL(18,2))
+              - pay.payment AS DECIMAL(18,2))
+  FROM sched s CROSS JOIN pay
+  WHERE s.n < 60 AND s.balance > 0
+)
+SELECT CAST(n AS INT) AS n, balance FROM sched ORDER BY n
+"""
+
+
+@query(
+    "q440_recursive_cte_amortization",
+    oracle=_AMORT_SQL.format(cap=_PRINCIPAL_KEY_CAP),
+    tags=("recursive-cte", "decimal", "iteration"),
+)
+def q440_recursive_cte_amortization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-decimal amortization as a Spark-native WITH RECURSIVE: the
+    principal is the DECIMAL(18,2) revenue of a bounded orderkey slice,
+    the payment is 3% of it, interest accrues at 0.5% per period, and
+    the recursion stops when the balance crosses zero (~38 levels —
+    payment/interest are proportional to the principal, so the depth is
+    scale-invariant and sits far under the engine's level limit of
+    100). Every step re-CASTs to DECIMAL(18,2) so both engines carry
+    the identical type through the loop and ROUND (ties away from zero
+    on positive balances in both) lands on the same cent. Scale note:
+    each level is one tiny self-union over the previous level's rows —
+    the expensive part (the principal aggregate) runs once, outside the
+    loop; the identical SQL text runs on both engines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_AMORT_SQL.format(cap=_PRINCIPAL_KEY_CAP))
+
+
+_PIPE_KEY_CAP = 4096
+
+
+@query(
+    "q441_pipe_syntax_pricing",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order
+    FROM orders
+    WHERE o_orderkey <= {_PIPE_KEY_CAP}
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    tags=("pipe-syntax", "aggregation", "decimal"),
+)
+def q441_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter -> aggregate -> order pricing shape in Spark 4's SQL
+    pipe syntax: each |> stage is one logical operator in reading
+    order. The oracle is the classic ANSI form, so a pipe-parser
+    lowering that reordered/renamed anything would hash-mismatch.
+    Same plan economics as q04 — pruned scan, partial aggregation,
+    single shuffle on the group key."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(f"""
+        FROM orders
+        |> WHERE o_orderkey <= {_PIPE_KEY_CAP}
+        |> AGGREGATE
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(MAX(o_orderdate) AS DATE) AS last_order
+           GROUP BY o_orderstatus AS status
+        |> ORDER BY status
+        """)
+
+
+@query(
+    "q442_listagg_ordered_csv",
+    oracle="""
+    SELECT status,
+           string_agg(p, ',' ORDER BY p) AS prios,
+           CAST(COUNT(*) AS BIGINT) AS n_prios
+    FROM (SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS p
+          FROM orders) t
+    GROUP BY status
+    ORDER BY status
+    """,
+    tags=("listagg", "string", "aggregation"),
+)
+def q442_listagg_ordered_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI listagg WITHIN GROUP: the distinct order priorities seen
+    per status as one deterministic comma-joined string. DISTINCT is a
+    subquery (not inside the aggregate) so both engines aggregate the
+    identical row set, and WITHIN GROUP (ORDER BY p) pins the
+    concatenation order — input order can never leak into the result.
+    Covers the surface collect_list+concat_ws entries do NOT: the
+    ordered ANSI aggregate itself."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT status,
+               listagg(p, ',') WITHIN GROUP (ORDER BY p) AS prios,
+               CAST(COUNT(*) AS BIGINT) AS n_prios
+        FROM (SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS p
+              FROM orders)
+        GROUP BY status
+        ORDER BY status
+        """)
+
+
+_SCRIPT_TARGET = 100  # loop until fewer than this many orders remain above k
+
+
+@query(
+    "q443_sql_scripting_threshold_search",
+    oracle=f"""
+    WITH ks AS (
+      SELECT (CAST(1 AS BIGINT) << i) AS k FROM generate_series(0, 40) t(i)
+    ),
+    cand AS (
+      SELECT k FROM ks
+      WHERE (SELECT count(*) FROM orders WHERE o_totalprice > ks.k)
+            < {_SCRIPT_TARGET}
+    )
+    SELECT CAST(min(k) AS BIGINT) AS threshold,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_totalprice > (SELECT min(k) FROM cand))
+                AS BIGINT) AS n_above
+    FROM cand
+    """,
+    tags=("sql-scripting", "iteration", "control-flow"),
+)
+def q443_sql_scripting_threshold_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iterative threshold search in Spark 4 SQL SCRIPTING: DECLARE a
+    cursor k=1 and WHILE more than {_SCRIPT_TARGET} orders price above
+    it, double it — the first power of two that caps the tail is the
+    answer, found by ENGINE-side control flow (each loop iteration is
+    one scalar-subquery count job; no Python between iterations). The
+    oracle computes the same fixpoint closed-form: the doubling ladder
+    is monotone in k, so the loop's exit value equals the MINIMUM
+    power-of-two with a sub-target count (bit-shift ladder, no POW —
+    the lint-barred function). ~18 iterations at any SF (depth is
+    log2(max price), not data volume)."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(f"""
+        BEGIN
+          DECLARE k BIGINT DEFAULT 1;
+          WHILE (SELECT count(*) FROM orders WHERE o_totalprice > k)
+                >= {_SCRIPT_TARGET} DO
+            SET k = k * 2;
+          END WHILE;
+          SELECT CAST(k AS BIGINT) AS threshold,
+                 CAST((SELECT count(*) FROM orders WHERE o_totalprice > k)
+                      AS BIGINT) AS n_above;
+        END
+        """)

@@ -109,7 +109,9 @@ _QUERY_MODULES = (
 # audit, catalog lint, staged sweeps) loads them from here so the
 # list cannot drift between consumers. Promotion = move the module
 # name into _QUERY_MODULES above.
-STAGED_MODULES: tuple[str, ...] = ()
+STAGED_MODULES: tuple[str, ...] = (
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops66",  # wave 67, round 12
+)
 
 
 @dataclass(frozen=True)

@@ -342,9 +342,14 @@ AUDITED = (
     "q435_littles_law_flow_identity",
     "q436_systematic_sample_bias",
     "q437_temporal_integrity_audit",
-    # staged wave 66 (plans/llm_ops65.py)
+    # wave 66 (plans/llm_ops65.py, promoted r11)
     "q438_variant_json_extraction",
     "q439_sql_udf_decomma_totals",
+    # staged wave 67 (plans/llm_ops66.py)
+    "q440_recursive_cte_amortization",
+    "q441_pipe_syntax_pricing",
+    "q442_listagg_ordered_csv",
+    "q443_sql_scripting_threshold_search",
 )
 
 
