@@ -111,6 +111,7 @@ _QUERY_MODULES = (
 # name into _QUERY_MODULES above.
 STAGED_MODULES: tuple[str, ...] = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops66",  # wave 67, round 12
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops67",  # wave 68, round 12+
 )
 
 

@@ -350,6 +350,13 @@ AUDITED = (
     "q441_pipe_syntax_pricing",
     "q442_listagg_ordered_csv",
     "q443_sql_scripting_threshold_search",
+    # staged wave 68 (plans/llm_ops67.py)
+    "q444_group_by_all_pricing",
+    "q445_identifier_parameterized_scan",
+    "q446_tablesample_repeatable_audit",
+    "q447_observe_metrics_single_pass",
+    "q448_hll_sketch_native_agg",
+    "q449_try_arithmetic_safe_lane",
 )
 
 
