@@ -213,17 +213,30 @@ def q443_sql_scripting_threshold_search(
     power-of-two with a sub-target count (bit-shift ladder, no POW —
     the lint-barred function). ~18 iterations at any SF (depth is
     log2(max price), not data volume)."""
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(f"""
-        BEGIN
-          DECLARE k BIGINT DEFAULT 1;
-          WHILE (SELECT count(*) FROM orders WHERE o_totalprice > k)
-                >= {_SCRIPT_TARGET} DO
-            SET k = k * 2;
-          END WHILE;
-          SELECT CAST(k AS BIGINT) AS threshold,
-                 CAST((SELECT count(*) FROM orders WHERE o_totalprice > k)
-                      AS BIGINT) AS n_above;
-        END
-        """)
+    # Scripting needs a session flag; restore the caller's value after
+    # the script has run (spark.sql executes the whole script eagerly
+    # and hands back the last statement's already-computed result) so
+    # this entry — uniquely conf-dependent — cannot leak session state
+    # into whatever query a shared harness session runs next
+    # (round-11 review finding).
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(f"""
+            BEGIN
+              DECLARE k BIGINT DEFAULT 1;
+              WHILE (SELECT count(*) FROM orders WHERE o_totalprice > k)
+                    >= {_SCRIPT_TARGET} DO
+                SET k = k * 2;
+              END WHILE;
+              SELECT CAST(k AS BIGINT) AS threshold,
+                     CAST((SELECT count(*) FROM orders WHERE o_totalprice > k)
+                          AS BIGINT) AS n_above;
+            END
+            """)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

@@ -157,7 +157,7 @@ _SAMPLE_SEED = 42
     SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
            TRUE AS within_binomial_bounds,
            TRUE AS seed_repeatable,
-           TRUE AS sample_is_subset
+           TRUE AS sample_no_duplicates
     FROM orders
     """,
     tags=("tablesample", "sampling", "audit"),
@@ -173,11 +173,14 @@ def q446_tablesample_repeatable_audit(
     miss is ~1e-9, i.e. a broken sampler, not luck); (2) a second scan
     with the SAME seed inside this query reproduces the identical
     (count, keysum) aggregate — the REPEATABLE contract; (3) the
-    sample is a subset: its keysum over an anti-join against the
-    source is empty. Cross-engine reproducible sampling remains the
-    md5-gate doctrine (q101/q436); this entry stamps the native engine
-    surface itself. Scale: sampling pushes into the scan (no shuffle);
-    the audit aggregates are single-pass."""
+    sample draws each row AT MOST ONCE (count == distinct-key count —
+    orders keys are unique, so a with-replacement or row-duplicating
+    sampler fails this; an is-subset EXCEPT probe was dropped in
+    round-11 review as a tautology a sampler defect can never
+    falsify). Cross-engine reproducible sampling remains the md5-gate
+    doctrine (q101/q436); this entry stamps the native engine surface
+    itself. Scale: sampling pushes into the scan (no shuffle); the
+    audit aggregates are single-pass."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         f"""
@@ -186,6 +189,7 @@ def q446_tablesample_repeatable_audit(
         ),
         s1 AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
                  CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS keysum
           FROM orders TABLESAMPLE ({_SAMPLE_PCT} PERCENT)
                REPEATABLE ({_SAMPLE_SEED})
@@ -195,16 +199,6 @@ def q446_tablesample_repeatable_audit(
                  CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS keysum
           FROM orders TABLESAMPLE ({_SAMPLE_PCT} PERCENT)
                REPEATABLE ({_SAMPLE_SEED})
-        ),
-        strays AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS n_stray
-          FROM (
-            SELECT o_orderkey
-            FROM orders TABLESAMPLE ({_SAMPLE_PCT} PERCENT)
-                 REPEATABLE ({_SAMPLE_SEED})
-            EXCEPT
-            SELECT o_orderkey FROM orders
-          )
         )
         SELECT src.n_source,
                s1.n BETWEEN CAST(FLOOR(0.1 * src.n_source
@@ -213,8 +207,8 @@ def q446_tablesample_repeatable_audit(
                                  + 6.0 * SQRT(0.09 * src.n_source)) AS BIGINT)
                  AS within_binomial_bounds,
                s1.n = s2.n AND s1.keysum = s2.keysum AS seed_repeatable,
-               strays.n_stray = 0 AS sample_is_subset
-        FROM src, s1, s2, strays
+               s1.n = s1.n_keys AS sample_no_duplicates
+        FROM src, s1, s2
         """
     )
 

@@ -104,18 +104,28 @@ class TwseReader(DataSourceReader):
 class TwseStreamReader(SimpleDataSourceStreamReader):
     """STREAMING form of the feed (SimpleDataSourceStreamReader): the
     reference's once-a-day cadence as a Structured Streaming source.
-    The offset is CONTENT-based — ``{"last_date": d}``, the last
-    consumed trading day (None before the first batch) — so progress
-    is exactly-once and replayable ACROSS restarts even when the
-    ``dates`` option grows between runs: a restart locates the
-    committed date in the current list (appending future days is the
-    normal evolution; a list that no longer contains the committed
-    date fails LOUDLY instead of silently re-reading or skipping days,
-    which is what a positional ``next_idx`` cursor would do — round-10
-    ADVICE). ``read`` advances by ``batch_days`` dates (default: all
-    available, so availableNow drains in one batch; set 1 for the
-    strict one-day-per-micro-batch cadence) and ``readBetweenOffsets``
-    re-yields any committed range deterministically after a restart.
+    The offset is CONTENT-based AND POSITION-VALIDATED —
+    ``{"last_date": d, "n_consumed": k}``, the last consumed trading
+    day plus how many days were consumed to reach it (``None``/0
+    before the first batch) — so progress is exactly-once and
+    replayable ACROSS restarts exactly when the consumed PREFIX of the
+    ``dates`` option is unchanged (appending future days is the normal
+    calendar evolution and always compatible). Every other mutation
+    fails LOUDLY instead of silently skipping or re-reading days: a
+    list missing the committed date (removal/rename), a date
+    backfilled/inserted/reordered BEFORE the committed one (the
+    committed date's position no longer equals ``n_consumed`` — the
+    round-11 review finding: a bare ``last_date`` cursor silently
+    skipped a backfilled day and replayed a DIFFERENT row set for a
+    committed range), and the pre-round-11 positional ``next_idx``
+    form (unvalidatable against a reordered list). ``read`` advances
+    by ``batch_days`` dates (default: all available, so availableNow
+    drains in one batch; set 1 for the strict
+    one-day-per-micro-batch cadence) and ``readBetweenOffsets``
+    re-yields any committed range deterministically after a restart —
+    both ends position-validated first, so an insertion inside the
+    range refuses rather than replaying rows that were never in the
+    committed batch.
     In production the date list is the trading calendar up to today;
     offline it is the test's golden dates — same doctrine as the batch
     reader.
@@ -136,27 +146,36 @@ class TwseStreamReader(SimpleDataSourceStreamReader):
         self._batch_days = max(1, int(raw)) if raw else None  # None = all
 
     def initialOffset(self) -> dict:
-        return {"last_date": None}
+        return {"last_date": None, "n_consumed": 0}
 
     def _idx_after(self, offset: dict) -> int:
         """Index of the first UNCONSUMED date under `offset`. Fails
-        loudly when a committed date no longer exists in the current
-        list (incompatible restart) or when the offset shape is not
-        the content-based form this reader writes (e.g. a positional
-        next_idx checkpoint from an older build — a bare index cannot
-        be validated against a reordered list, so refuse it rather
-        than replay the wrong days)."""
-        if "last_date" not in offset:
+        loudly when the offset shape is not the content+position form
+        this reader writes (e.g. a positional next_idx checkpoint from
+        an older build, or a bare last_date from the first round-11
+        form — neither can be validated against a mutated list), when
+        a committed date no longer exists in the current list
+        (removal/rename), or when it exists at a DIFFERENT position
+        than when it was committed (a date backfilled / inserted /
+        reordered before the cursor — resuming 'after' the date would
+        silently skip the inserted days)."""
+        if "last_date" not in offset or "n_consumed" not in offset:
             raise ValueError(
                 f"twse stream: unrecognized checkpoint offset {offset!r} — "
-                "this reader commits {'last_date': <yyyyMMdd>}; start a "
-                "fresh checkpoint"
+                "this reader commits {'last_date': <yyyyMMdd>, "
+                "'n_consumed': <int>}; start a fresh checkpoint"
             )
         last = offset["last_date"]
+        n_consumed = offset["n_consumed"]
         if last is None:
+            if n_consumed != 0:
+                raise ValueError(
+                    f"twse stream: inconsistent checkpoint offset "
+                    f"{offset!r} (no last_date but n_consumed != 0)"
+                )
             return 0
         try:
-            return self._dates.index(last) + 1
+            idx = self._dates.index(last)
         except ValueError:
             raise ValueError(
                 f"twse stream restart: committed offset date {last!r} is "
@@ -164,12 +183,26 @@ class TwseStreamReader(SimpleDataSourceStreamReader):
                 "incompatibly (day removed/renamed); restore the committed "
                 "date or start a fresh checkpoint"
             ) from None
+        if idx + 1 != n_consumed:
+            raise ValueError(
+                f"twse stream restart: committed offset date {last!r} was "
+                f"consumed at position {n_consumed} but now sits at "
+                f"position {idx + 1} — the 'dates' option mutated before "
+                "the cursor (day backfilled/inserted/reordered); only "
+                "APPENDING future days is checkpoint-compatible. Restore "
+                "the committed prefix or start a fresh checkpoint"
+            )
+        return idx + 1
 
     def read(self, start: dict):
         lo = self._idx_after(start)
         step = self._batch_days or len(self._dates)
         hi = min(lo + step, len(self._dates))
-        end = {"last_date": self._dates[hi - 1] if hi > 0 else None}
+        end = (
+            {"last_date": self._dates[hi - 1], "n_consumed": hi}
+            if hi > 0
+            else {"last_date": None, "n_consumed": 0}
+        )
         return self._rows(lo, hi), end
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -12,6 +12,23 @@ import duckdb
 from airflow_scraping_etl_tutorial_spark.sources.tables import TABLES
 
 
+def load_explain_audit():
+    """Load tools/explain_audit.py as a module (tools/ is not a
+    package). ONE copy of the spec_from_file_location boilerplate so a
+    move/rename of the tool is fixed here, not in every test file
+    (round-11 review finding)."""
+    import importlib.util
+    import pathlib
+
+    path = (
+        pathlib.Path(__file__).resolve().parents[1] / "tools" / "explain_audit.py"
+    )
+    spec = importlib.util.spec_from_file_location("explain_audit", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def duck_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Fresh in-memory DuckDB with the fixture tables as views."""
     con = duckdb.connect()

@@ -139,14 +139,9 @@ def test_global_window_sites_annotated():
 
 
 def _load_explain_audit():
-    import importlib.util
-    import pathlib
+    from staged_oracle import load_explain_audit
 
-    path = pathlib.Path(__file__).resolve().parents[1] / "tools" / "explain_audit.py"
-    spec = importlib.util.spec_from_file_location("explain_audit", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    return load_explain_audit()
 
 
 def test_count_global_windows_unit():

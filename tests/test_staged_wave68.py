@@ -103,7 +103,7 @@ def test_tablesample_audit_booleans_all_true(spark):
     assert row.n_source == 1500
     assert row.within_binomial_bounds
     assert row.seed_repeatable
-    assert row.sample_is_subset
+    assert row.sample_no_duplicates
 
 
 def test_observe_metrics_equal_direct_aggregation(spark, duck):
@@ -173,11 +173,6 @@ def test_try_lane_python_replay(spark, duck):
 def test_audited_rows_present_for_wave68():
     """Staging protocol: every wave-68 entry carries an explain-audit
     row so PLANS.md regeneration covers it."""
-    import importlib.util
-    import pathlib
+    from staged_oracle import load_explain_audit
 
-    path = pathlib.Path(__file__).resolve().parents[1] / "tools" / "explain_audit.py"
-    spec = importlib.util.spec_from_file_location("explain_audit", path)
-    ea = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ea)
-    assert set(STAGED) <= set(ea.AUDITED)
+    assert set(STAGED) <= set(load_explain_audit().AUDITED)

@@ -147,13 +147,13 @@ def test_offset_is_content_based_and_survives_appended_dates():
     r1 = _stream_reader("20220819,20220820", batch_days="1")
     rows, off = r1.read(r1.initialOffset())
     assert [t[3] for t in rows] == ["20220819"]
-    assert off == {"last_date": "20220819"}
+    assert off == {"last_date": "20220819", "n_consumed": 1}
     # restart with a longer list: the committed date is located by
     # CONTENT, so the next batch is 20220820, not a positional guess
     r2 = _stream_reader("20220819,20220820,20100106", batch_days="1")
     rows2, off2 = r2.read(off)
     assert [t[3] for t in rows2] == ["20220820"]
-    assert off2 == {"last_date": "20220820"}
+    assert off2 == {"last_date": "20220820", "n_consumed": 2}
 
 
 def test_offset_replay_between_offsets_is_content_addressed():
@@ -161,7 +161,8 @@ def test_offset_replay_between_offsets_is_content_addressed():
     got = [
         t[3]
         for t in r.readBetweenOffsets(
-            {"last_date": "20220819"}, {"last_date": "20100106"}
+            {"last_date": "20220819", "n_consumed": 1},
+            {"last_date": "20100106", "n_consumed": 3},
         )
     ]
     assert got == ["20220820", "20100106"]
@@ -170,21 +171,48 @@ def test_offset_replay_between_offsets_is_content_addressed():
 def test_offset_with_removed_committed_date_fails_loudly():
     r = _stream_reader("20220820,20100106")
     with pytest.raises(ValueError, match="not in the current 'dates'"):
-        r.read({"last_date": "20220819"})
+        r.read({"last_date": "20220819", "n_consumed": 1})
+
+
+def test_offset_with_backfilled_date_before_cursor_fails_loudly():
+    """The round-11 review repro: a day backfilled BEFORE the committed
+    date must refuse the restart — a bare last_date cursor would
+    silently skip the backfilled day forever."""
+    r = _stream_reader("20100106,20220819,20220820", batch_days="1")
+    with pytest.raises(ValueError, match="mutated before the cursor"):
+        r.read({"last_date": "20220819", "n_consumed": 1})
+
+
+def test_replay_range_with_insertion_inside_fails_loudly():
+    """The second review repro: an insertion INSIDE a committed range
+    must refuse readBetweenOffsets — replaying would yield rows that
+    were never in the originally committed batch."""
+    r = _stream_reader("20220819,20100106,20220820")
+    with pytest.raises(ValueError, match="mutated before the cursor"):
+        list(
+            r.readBetweenOffsets(
+                {"last_date": "20220819", "n_consumed": 1},
+                {"last_date": "20220820", "n_consumed": 2},
+            )
+        )
 
 
 def test_legacy_positional_offset_is_refused():
     """A pre-round-11 positional cursor cannot be validated against a
     possibly-reordered list — refuse it instead of replaying the wrong
-    days."""
+    days. The first round-11 bare-last_date form is refused for the
+    same reason (it cannot detect a mutated prefix)."""
     r = _stream_reader("20220819,20220820")
     with pytest.raises(ValueError, match="unrecognized checkpoint offset"):
         r.read({"next_idx": 1})
+    with pytest.raises(ValueError, match="unrecognized checkpoint offset"):
+        r.read({"last_date": "20220819"})
 
 
 def test_drained_stream_offset_is_stable():
     r = _stream_reader("20220819,20220820")
     rows, off = r.read(r.initialOffset())
-    assert len(list(rows)) == 2 and off == {"last_date": "20220820"}
+    assert len(list(rows)) == 2
+    assert off == {"last_date": "20220820", "n_consumed": 2}
     rows2, off2 = r.read(off)
     assert list(rows2) == [] and off2 == off
