@@ -54,28 +54,28 @@ def test_wave66_live_and_tiered():
 def test_variant_extraction_python_replay(spark, duck):
     """Build each order's document with the stdlib json module and
     extract the same four values; the Spark VARIANT path must agree on
-    every row."""
+    every row. Round-12 form: the document carries exact BIGINT cents
+    (never a decimal — its JSON text rendering is engine-specific)."""
     base = duck.sql(
         f"SELECT o_orderkey, o_orderstatus, "
-        f"CAST(o_totalprice AS DECIMAL(18,2)) AS total, o_orderpriority "
+        f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
+        f"o_orderpriority "
         f"FROM orders WHERE o_orderkey <= {_KEY_CAP} ORDER BY o_orderkey"
     ).fetchall()
     want = {}
-    for key, status, total, prio in base:
+    for key, status, cents, prio in base:
         doc = json.dumps(
-            {"status": status, "total": float(total), "tags": [status, prio]}
+            {"status": status, "total_cents": int(cents), "tags": [status, prio]}
         )
         parsed = json.loads(doc)
         want[key] = (
             parsed["status"],
-            # float -> Decimal through the 2dp string, the same exact
-            # 2-decimal value both engines carry
-            Decimal(f"{parsed['total']:.2f}"),
+            parsed["total_cents"],
             parsed["tags"][1],
             len(parsed["tags"]),
         )
     got = {
-        r.o_orderkey: (r.status, r.total, r.prio_tag, r.n_tags)
+        r.o_orderkey: (r.status, int(r.total_cents), r.prio_tag, r.n_tags)
         for r in _REGISTRY["q438_variant_json_extraction"].fn(spark, SF_DIR).collect()
     }
     assert got == want
@@ -83,7 +83,7 @@ def test_variant_extraction_python_replay(spark, duck):
 
 def test_sql_udf_totals_python_replay(spark, duck):
     """Totals replay: sum of exact cents per status, with the comma
-    format round-trip applied in python (f'{cents:,}' -> strip ',')
+    group round-trip applied in python (f'{cents:,}' -> strip ',')
     to prove the round-trip is the identity the entry relies on."""
     rows = duck.sql(
         "SELECT o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
@@ -99,6 +99,27 @@ def test_sql_udf_totals_python_replay(spark, duck):
         for r in _REGISTRY["q439_sql_udf_decomma_totals"].fn(spark, SF_DIR).collect()
     }
     assert got == {s: (sum(v), len(v)) for s, v in want.items()}
+
+
+def test_comma_grouped_matches_python_format(spark):
+    """The locale-free Catalyst grouping expression (round-12
+    replacement for format_number in q439's input path) agrees with
+    python's f'{x:,}' on every grouping edge: 0, 1-3 digits, exact
+    multiples of 3 digits, and 13/15-digit values."""
+    from pyspark.sql import functions as F
+
+    from airflow_scraping_etl_tutorial_spark.plans.llm_ops65 import (
+        _comma_grouped,
+    )
+
+    vals = [0, 7, 99, 999, 1000, 12345, 999999, 1000000, 1234567890123,
+            123456789012345]
+    df = spark.createDataFrame([(v,) for v in vals], "x LONG")
+    got = {
+        r.x: r.s
+        for r in df.select("x", _comma_grouped(F.col("x")).alias("s")).collect()
+    }
+    assert got == {v: f"{v:,}" for v in vals}
 
 
 def test_decomma_grouping_edges(spark):
