@@ -299,21 +299,32 @@ def q250_connected_components_minlabel(spark: SparkSession, sf_dir: str) -> Data
     rounds are O(diameter), and dup-graph diameters are tiny because
     near-dup clusters are cliques-ish."""
     docs = load(spark, sf_dir, "documents")
+    from ..functions.caching import release_intermediates
     from ..operators.dedup import minhash_near_duplicates
 
+    # sym and lbl1 are localCheckpointed (disk-backed, lineage-
+    # TRUNCATED) rather than persist()ed: each is read by two
+    # downstream consumers, and with full lineage retained a
+    # memory-pressure eviction turns those reads into full
+    # minhash-pipeline recomputes (the round-11 driver-box signature).
+    # Checkpointed, the degraded mode is a local-disk re-read —
+    # linear, not multiplicative (operators/cluster.py doctrine).
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
     sym = pairs.select(
         F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d")
     ).unionAll(
         pairs.select(F.col("doc_id_b").alias("s"), F.col("doc_id_a").alias("d"))
-    ).persist()
+    ).localCheckpoint(eager=True)
+    # lineage is truncated: the operator's internal signature cache can
+    # be dropped immediately
+    release_intermediates(pairs)
     # round 1 fused: labels start as the identity, so
     # l1(u) = LEAST(u, MIN(neighbors)) is ONE aggregate — no label
     # join, no separate node-list distinct (l1 IS the node list)
     lbl1 = (
         sym.groupBy(F.col("d").alias("node"))
         .agg(F.least(F.min("s"), F.col("d")).alias("lbl"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # round 2 with the self-loop trick: appending (u, u) edges folds
     # each node's own l1 into the neighbor MIN, so the round is ONE
@@ -328,9 +339,7 @@ def q250_connected_components_minlabel(spark: SparkSession, sf_dir: str) -> Data
         .groupBy(F.col("d").alias("node"))
         .agg(F.min("nl").alias("lbl"))
     )
-    from ..functions.caching import tag_intermediates
-
-    out = (
+    return (
         lbl.groupBy("lbl")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .select(
@@ -340,7 +349,6 @@ def q250_connected_components_minlabel(spark: SparkSession, sf_dir: str) -> Data
         .orderBy(F.desc("n_docs"), "component")
         .limit(20)
     )
-    return tag_intermediates(out, sym, lbl1)
 
 
 # ---------------------------------------------------------------------------

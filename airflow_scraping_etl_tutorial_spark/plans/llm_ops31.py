@@ -138,7 +138,15 @@ def q331_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         _spark_gate("user_id", ":conf").alias("is_cal"),
         F.abs(F.col("actual_micro") - F.col("pred_micro")).alias("score"),
-    ).persist()
+    ).localCheckpoint(eager=True)
+    # u (and stats below) are localCheckpointed (disk-backed, lineage-
+    # TRUNCATED) rather than persist()ed: u feeds the calibration
+    # branch 3x and the test branch once, and with full lineage a
+    # memory-pressure eviction re-scans events per consumer — the
+    # round-11 driver box turned this 2 s query into 18 s exactly that
+    # way (x64 events re-reads in the retained-lineage plan). With the
+    # checkpoint the degraded mode is a local-disk re-read — linear,
+    # not multiplicative (operators/cluster.py doctrine).
     cal = u.filter(F.col("is_cal") == 1).select("score", "user_id")
     # Integer-width 256-bin histogram over calibration scores; bin is a
     # monotone function of score, so within-bin (score, user_id) order is
@@ -149,7 +157,7 @@ def q331_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").alias("lo"),
         F.max("score").alias("hi"),
         F.count(F.lit(1)).alias("n_cal"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     binned = cal.crossJoin(F.broadcast(stats)).select(
         "score",
         "user_id",
@@ -218,6 +226,4 @@ def q331_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage_ppm"),
         F.lit((100 - _ALPHA_PCT) * 10000).cast("bigint").alias("nominal_ppm"),
     )
-    from ..functions.caching import tag_intermediates
-
-    return tag_intermediates(out, u, stats)
+    return out

@@ -25,13 +25,9 @@ for four Spark-4-native SQL engine surfaces no existing entry covers —
   Control flow executes ENGINE-side per statement — no Python between
   iterations.
 
-This module is in registry.STAGED_MODULES, not yet _QUERY_MODULES
-(same staging protocol as waves 12-66): value-checked via
-
-    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops66 \\
-        python tools/check_correctness.py /root/testdata/sf0.01
-
-and by tests/test_staged_wave67.py; round 12 promotes it with one line.
+Staged through rounds 10-11 under the waves-12-66 protocol
+(strict-oracle-checked at three SFs + tests/test_staged_wave67.py),
+promoted into _QUERY_MODULES round 12.
 
 Output-hardening doctrine (as waves 6-66): money stays in the decimal
 lane end-to-end (DECIMAL(18,2) balances, explicit CAST after every

@@ -40,14 +40,9 @@ entry covers —
   the reference's P3 scrub, after the inline expression and the SQL
   UDF), and a format-mismatch parse that must be NULL, not an error.
 
-This module is in registry.STAGED_MODULES, not yet _QUERY_MODULES
-(same staging protocol as waves 12-67): value-checked via
-
-    SPARK_GRAFT_EXTRA_MODULES=airflow_scraping_etl_tutorial_spark.plans.llm_ops67 \\
-        python tools/check_correctness.py /root/testdata/sf0.01
-
-and by tests/test_staged_wave68.py; a later round promotes it with one
-line.
+Staged in round 11 under the waves-12-67 protocol
+(strict-oracle-checked at three SFs + tests/test_staged_wave68.py),
+promoted into _QUERY_MODULES round 12.
 
 Output-hardening doctrine (as waves 6-67): money stays in the decimal
 lane (DOUBLE -> DECIMAL(18,2) before any arithmetic; sums cast on both
@@ -172,12 +167,15 @@ def q446_tablesample_repeatable_audit(
     live source count (p=0.1: mean pN, sigma sqrt(p(1-p)N) — a 6-sigma
     miss is ~1e-9, i.e. a broken sampler, not luck); (2) a second scan
     with the SAME seed inside this query reproduces the identical
-    (count, keysum) aggregate — the REPEATABLE contract; (3) the
-    sample draws each row AT MOST ONCE (count == distinct-key count —
-    orders keys are unique, so a with-replacement or row-duplicating
-    sampler fails this; an is-subset EXCEPT probe was dropped in
-    round-11 review as a tautology a sampler defect can never
-    falsify). Cross-engine reproducible sampling remains the md5-gate
+    (count, keysum) aggregate — the REPEATABLE contract. Those two
+    carry the real signal. (3) sample_no_duplicates (count ==
+    distinct-key count) is a cheap TRIPWIRE, not a sampler audit:
+    Spark's without-replacement Bernoulli path cannot plausibly
+    duplicate a row, so the column exists to catch a future rewrite of
+    this query (or a sampler-mode switch to withReplacement) that
+    silently changes the draw semantics — the same reasoning that got
+    the unfalsifiable is-subset EXCEPT probe dropped in round-11
+    review. Cross-engine reproducible sampling remains the md5-gate
     doctrine (q101/q436); this entry stamps the native engine surface
     itself. Scale: sampling pushes into the scan (no shuffle); the
     audit aggregates are single-pass."""

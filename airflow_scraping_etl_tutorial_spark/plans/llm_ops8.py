@@ -229,8 +229,23 @@ def q226_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact convergence probe)."""
     docs = load(spark, sf_dir, "documents")
     # pairs feeds both union branches; the degree-annotated edge list
-    # feeds both iterations.
-    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5).persist()
+    # feeds both iterations. Both are localCheckpointed (disk-backed,
+    # lineage-TRUNCATED) rather than persist()ed: a persisted
+    # intermediate keeps its full lineage in the plan, so under memory
+    # pressure eviction turns each of the 2x2 downstream reads into a
+    # full minhash-pipeline recompute — the round-11 driver box showed
+    # exactly that signature (1.5-1.7x on a contended box with zero
+    # plan changes). With the checkpoint, a re-read is at worst a
+    # local-disk read and the degraded mode is linear, not
+    # multiplicative (operators/cluster.py doctrine).
+    from ..functions.caching import release_intermediates
+
+    raw_pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    pairs = raw_pairs.localCheckpoint(eager=True)
+    # lineage is truncated: the operator's internal signature cache
+    # can be dropped immediately instead of riding along to the
+    # caller's release path
+    release_intermediates(raw_pairs)
     e = pairs.select(
         F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d")
     ).unionByName(
@@ -240,7 +255,9 @@ def q226_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # attach out-degree to each edge ONCE instead of re-joining deg
     # every iteration (the q250 fusion doctrine, round 9)
     e_deg = (
-        e.join(deg, e["s"] == deg["node"]).select("s", "d", "dg").persist()
+        e.join(deg, e["s"] == deg["node"])
+        .select("s", "d", "dg")
+        .localCheckpoint(eager=True)
     )
     # iteration 1 fused: r0 == SCALE for every node, so each edge's
     # contribution is the constant SCALE div deg — one aggregate, no
@@ -259,14 +276,11 @@ def q226_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r")
     )
-    from ..functions.caching import tag_intermediates
-
-    out = (
+    return (
         r.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_score"))
         .orderBy(F.col("rank_score").desc(), "doc_id")
         .limit(20)
     )
-    return tag_intermediates(out, pairs, e_deg)
 
 
 # ---------------------------------------------------------------------------

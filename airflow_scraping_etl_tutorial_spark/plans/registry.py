@@ -101,6 +101,9 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops63",  # wave 64, promoted r10
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops64",  # wave 65, promoted r10
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops65",  # wave 66, promoted r11
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops66",  # wave 67, promoted r12
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops67",  # wave 68, promoted r12
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops68",  # wave 69, added r12
 )
 
 # Staged waves: implemented, pytest-covered, strict-oracle-green, but
@@ -109,10 +112,7 @@ _QUERY_MODULES = (
 # audit, catalog lint, staged sweeps) loads them from here so the
 # list cannot drift between consumers. Promotion = move the module
 # name into _QUERY_MODULES above.
-STAGED_MODULES: tuple[str, ...] = (
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops66",  # wave 67, round 12
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops67",  # wave 68, round 12+
-)
+STAGED_MODULES: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -141,6 +141,19 @@ class TwseStreamReader(SimpleDataSourceStreamReader):
         if not dates:
             raise ValueError("twse source requires option('dates', 'd1,d2,...')")
         self._dates = [d.strip() for d in dates.split(",") if d.strip()]
+        # The position check below resolves a committed date with
+        # list.index (FIRST occurrence) — that is only a sound cursor
+        # when dates are unique, so make uniqueness an explicit
+        # contract here rather than let a duplicated day surface later
+        # as a misdiagnosed 'mutated before the cursor' refusal
+        # (round-11 ADVICE).
+        dupes = sorted({d for d in self._dates if self._dates.count(d) > 1})
+        if dupes:
+            raise ValueError(
+                f"twse stream: 'dates' option contains duplicate trading "
+                f"days {dupes} — each day is one micro-batch and must "
+                "appear exactly once"
+            )
         self._source = options.get("source", "golden")
         raw = options.get("batch_days")
         self._batch_days = max(1, int(raw)) if raw else None  # None = all

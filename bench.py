@@ -170,6 +170,24 @@ def _gate_violations(
     ]
 
 
+def _timed_with_retry(run_once, ref: float | None, settle) -> float:
+    """Best-of-two timed runs, plus ONE self-healing re-measure: if the
+    best-of-two still lands >5x its committed reference (and >0.5 s
+    over it), the box was plausibly mid-transient for the whole pair
+    (round-11 driver run: 7 scan-heavy queries at 2-25x with ZERO plan
+    changes; a fresh-boot stall reproduced locally held q26 at 55x
+    across BOTH timed runs, then vanished on the immediate re-run). So
+    settle briefly and measure once more, min-ing in — a transient
+    cannot fail the gate, while a REAL regression is slow on all three
+    runs and still trips the 2x gate by construction (5x-consistent >
+    2x). Queries with no committed reference never retry."""
+    t = min(run_once(), run_once())
+    if ref is not None and t > 5 * ref and t - ref > 0.5:
+        settle()
+        t = min(t, run_once())
+    return t
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -198,10 +216,23 @@ def main() -> None:
     # timed run, a 5x phantom regression. Data-cache isolation is
     # unchanged: release+clearCache still precedes EVERY run, so a
     # timed run never reads another run's cached data.
+    gate_active = (
+        sf == "0.1" and os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0"
+    )
+    refs = (
+        _reference_timings(os.path.dirname(os.path.abspath(__file__)))
+        if gate_active
+        else {}
+    )
     timings = {}
     for name in HEADLINE:
         run(name)
-        timings[name] = round(min(run(name), run(name)), 3)
+        timings[name] = round(
+            _timed_with_retry(
+                lambda: run(name), refs.get(name), lambda: time.sleep(10)
+            ),
+            3,
+        )
 
     print(
         json.dumps(
@@ -225,8 +256,7 @@ def main() -> None:
     # 1.4x the r05 host pushed a 0.22 s query to 0.45 s — noise, while
     # a real 5x regression on a 2 s query still clears the slack by
     # seconds). SPARK_GRAFT_BENCH_GATE=0 disables (experimentation).
-    if sf == "0.1" and os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
-        refs = _reference_timings(os.path.dirname(os.path.abspath(__file__)))
+    if gate_active:
         bad = _gate_violations(timings, refs)
         if bad:
             print(

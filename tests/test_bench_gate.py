@@ -12,7 +12,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import HEADLINE, _gate_violations, _reference_timings  # noqa: E402
+from bench import (  # noqa: E402
+    HEADLINE,
+    _gate_violations,
+    _reference_timings,
+    _timed_with_retry,
+)
 
 
 def test_gate_predicate():
@@ -30,18 +35,75 @@ def test_gate_predicate():
 
 
 def test_references_cover_headline_set():
+    """Every headline entry that has appeared in a git-COMMITTED BENCH
+    artifact has a reference; entries added THIS round self-baseline
+    next round. Round-12 fix (r11 VERDICT item 3): the committed set is
+    derived from HEAD bytes exactly like _reference_timings — the old
+    working-tree glob disagreed with the gate's own source whenever the
+    driver dropped a fresh, not-yet-committed BENCH_r*.json (its new
+    headline entries reddened this test while the gate itself was
+    correct)."""
+    import subprocess
+
     refs = _reference_timings(REPO)
     missing = [q for q in HEADLINE if q not in refs]
-    # every headline entry that has appeared in a committed BENCH file
-    # has a reference; entries added THIS round self-baseline next round
     committed = set()
-    import glob
-
-    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
-        with open(path) as f:
-            committed |= set((json.load(f).get("parsed") or {}).get("queries") or {})
+    ls = subprocess.run(
+        ["git", "-C", REPO, "ls-files", "BENCH_r*.json"],
+        capture_output=True,
+        text=True,
+    )
+    assert ls.returncode == 0, "test requires a git checkout"
+    for base in (b.strip() for b in ls.stdout.splitlines() if b.strip()):
+        show = subprocess.run(
+            ["git", "-C", REPO, "show", f"HEAD:{base}"],
+            capture_output=True,
+            text=True,
+        )
+        if show.returncode != 0:
+            continue  # staged-but-never-committed: not a gate source
+        committed |= set(
+            (json.loads(show.stdout).get("parsed") or {}).get("queries") or {}
+        )
     assert not (set(missing) & committed)
     assert all(v > 0 for v in refs.values())
+
+
+def test_timed_with_retry_transient_self_heals_but_regression_fails():
+    """Round-11 VERDICT item 2: a box transient spanning both timed
+    runs must not fail the gate (one settle + re-measure, min-ed in),
+    while a deliberate CONSISTENT 5x regression must still be flagged
+    by the 2x gate."""
+    ref = 2.0
+
+    # transient: both timed runs 9x, the post-settle run healthy
+    seq = iter([18.0, 18.5, 2.1])
+    settles = []
+    t = _timed_with_retry(lambda: next(seq), ref, lambda: settles.append(1))
+    assert t == 2.1 and settles == [1]
+    assert _gate_violations({"q": t}, {"q": ref}) == []
+
+    # real regression: slow on all three runs -> still fails the gate
+    t = _timed_with_retry(lambda: 10.0, ref, lambda: None)
+    assert t == 10.0
+    assert len(_gate_violations({"q": t}, {"q": ref})) == 1
+
+    # healthy result: no settle, no third run
+    seq2 = iter([2.2, 2.0])
+    settles2 = []
+    t = _timed_with_retry(lambda: next(seq2), ref, lambda: settles2.append(1))
+    assert t == 2.0 and settles2 == []
+
+    # between 2x and 5x: the gate flags it WITHOUT a retry (the retry
+    # only targets the transient band; a 3x slowdown is adjudicated by
+    # the gate as-is)
+    t = _timed_with_retry(lambda: 7.0, ref, lambda: (_ for _ in ()).throw(AssertionError("no settle expected")))
+    assert t == 7.0
+
+    # no committed reference (new entry): never retries
+    seq3 = iter([50.0, 60.0])
+    t = _timed_with_retry(lambda: next(seq3), None, lambda: (_ for _ in ()).throw(AssertionError("no settle expected")))
+    assert t == 50.0
 
 
 def test_r05_baseline_wins_over_later_rounds():

@@ -43,18 +43,12 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, _REGISTRY[name], SF_DIR)
 
 
-def test_staged_wave67_not_registered_in_driver_contract(monkeypatch):
-    """Wave 67 stays staged until round 12. Attestation-invariant form."""
-    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
-    from airflow_scraping_etl_tutorial_spark.plans.registry import (
-        _QUERY_MODULES,
-        STAGED_MODULES,
-        all_queries,
-    )
+def test_wave67_live_and_tiered():
+    """Wave 67 promoted round 12: live in the driver contract, tiered
+    like every other entry (attestation-invariant form)."""
+    from staged_oracle import assert_live_and_tiered
 
-    assert "llm_ops66" not in ",".join(_QUERY_MODULES)
-    assert any(m.endswith("llm_ops66") for m in STAGED_MODULES)
-    assert not set(all_queries()) & set(STAGED)
+    assert_live_and_tiered(STAGED, "llm_ops66")
 
 
 # ---------------------------------------------------------------------------

@@ -45,18 +45,12 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, _REGISTRY[name], SF_DIR)
 
 
-def test_staged_wave68_not_registered_in_driver_contract(monkeypatch):
-    """Wave 68 stays staged until promotion. Attestation-invariant form."""
-    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
-    from airflow_scraping_etl_tutorial_spark.plans.registry import (
-        _QUERY_MODULES,
-        STAGED_MODULES,
-        all_queries,
-    )
+def test_wave68_live_and_tiered():
+    """Wave 68 promoted round 12: live in the driver contract, tiered
+    like every other entry (attestation-invariant form)."""
+    from staged_oracle import assert_live_and_tiered
 
-    assert "llm_ops67" not in ",".join(_QUERY_MODULES)
-    assert any(m.endswith("llm_ops67") for m in STAGED_MODULES)
-    assert not set(all_queries()) & set(STAGED)
+    assert_live_and_tiered(STAGED, "llm_ops67")
 
 
 # ---------------------------------------------------------------------------

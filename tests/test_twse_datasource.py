@@ -140,6 +140,20 @@ def _stream_reader(dates, **opts):
     return TwseStreamReader({"dates": dates, **opts})
 
 
+def test_duplicate_dates_refused_at_construction():
+    """Round-11 ADVICE: the position check resolves a committed date
+    with list.index (first occurrence), which is only a sound cursor
+    for unique dates — a duplicated day must be refused up front with
+    the real diagnosis, not later as a spurious 'mutated before the
+    cursor' error."""
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate trading days"):
+        _stream_reader("20220819,20220820,20220819")
+    # unique lists construct fine
+    _stream_reader("20220819,20220820")
+
+
 def test_offset_is_content_based_and_survives_appended_dates():
     """A restart that APPENDS future trading days to the dates option
     (the normal calendar evolution) must resume exactly after the

@@ -345,18 +345,21 @@ AUDITED = (
     # wave 66 (plans/llm_ops65.py, promoted r11)
     "q438_variant_json_extraction",
     "q439_sql_udf_decomma_totals",
-    # staged wave 67 (plans/llm_ops66.py)
+    # wave 67 (plans/llm_ops66.py, promoted r12)
     "q440_recursive_cte_amortization",
     "q441_pipe_syntax_pricing",
     "q442_listagg_ordered_csv",
     "q443_sql_scripting_threshold_search",
-    # staged wave 68 (plans/llm_ops67.py)
+    # wave 68 (plans/llm_ops67.py, promoted r12)
     "q444_group_by_all_pricing",
     "q445_identifier_parameterized_scan",
     "q446_tablesample_repeatable_audit",
     "q447_observe_metrics_single_pass",
     "q448_hll_sketch_native_agg",
     "q449_try_arithmetic_safe_lane",
+    # wave 69 (plans/llm_ops68.py, added r12)
+    "q450_merge_upsert_idempotent",
+    "q451_scd2_validity_intervals",
 )
 
 
