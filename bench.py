@@ -172,17 +172,19 @@ def _gate_violations(
 
 def _timed_with_retry(run_once, ref: float | None, settle) -> float:
     """Best-of-two timed runs, plus ONE self-healing re-measure: if the
-    best-of-two still lands >5x its committed reference (and >0.5 s
-    over it), the box was plausibly mid-transient for the whole pair
-    (round-11 driver run: 7 scan-heavy queries at 2-25x with ZERO plan
-    changes; a fresh-boot stall reproduced locally held q26 at 55x
-    across BOTH timed runs, then vanished on the immediate re-run). So
-    settle briefly and measure once more, min-ing in — a transient
-    cannot fail the gate, while a REAL regression is slow on all three
-    runs and still trips the 2x gate by construction (5x-consistent >
-    2x). Queries with no committed reference never retry."""
+    best-of-two lands where the gate would flag it (>2x its committed
+    reference AND >0.5 s over — the _gate_violations predicate), the
+    box was plausibly mid-transient for the whole pair (round-11
+    driver run: 7 scan-heavy queries at 2-25x with ZERO plan changes;
+    a fresh-boot stall reproduced locally held q26 at 55x across BOTH
+    timed runs, then vanished on the immediate re-run; a round-12
+    local run caught q154 at a marginal 2.01x the same way). So settle
+    briefly and measure once more, min-ing in — a transient cannot
+    fail the gate, while a REAL regression is slow on all three runs
+    and still trips the gate. Queries with no committed reference
+    never retry."""
     t = min(run_once(), run_once())
-    if ref is not None and t > 5 * ref and t - ref > 0.5:
+    if ref is not None and _gate_violations({"q": t}, {"q": ref}):
         settle()
         t = min(t, run_once())
     return t

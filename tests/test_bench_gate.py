@@ -72,8 +72,10 @@ def test_references_cover_headline_set():
 def test_timed_with_retry_transient_self_heals_but_regression_fails():
     """Round-11 VERDICT item 2: a box transient spanning both timed
     runs must not fail the gate (one settle + re-measure, min-ed in),
-    while a deliberate CONSISTENT 5x regression must still be flagged
-    by the 2x gate."""
+    while a deliberate CONSISTENT regression — 5x or a marginal 2.1x —
+    must still be flagged by the 2x gate. The retry triggers exactly
+    where the gate would flag (>2x AND >0.5 s over): round 12 caught
+    q154 at a transient 2.01x, below the original 5x retry band."""
     ref = 2.0
 
     # transient: both timed runs 9x, the post-settle run healthy
@@ -83,9 +85,21 @@ def test_timed_with_retry_transient_self_heals_but_regression_fails():
     assert t == 2.1 and settles == [1]
     assert _gate_violations({"q": t}, {"q": ref}) == []
 
+    # marginal transient (just over 2x) self-heals the same way
+    seq_m = iter([4.2, 4.3, 2.0])
+    t = _timed_with_retry(lambda: next(seq_m), ref, lambda: None)
+    assert t == 2.0
+    assert _gate_violations({"q": t}, {"q": ref}) == []
+
     # real regression: slow on all three runs -> still fails the gate
+    # (deliberate injected 5x)
     t = _timed_with_retry(lambda: 10.0, ref, lambda: None)
     assert t == 10.0
+    assert len(_gate_violations({"q": t}, {"q": ref})) == 1
+
+    # real MARGINAL regression: consistently 3x -> still fails
+    t = _timed_with_retry(lambda: 6.0, ref, lambda: None)
+    assert t == 6.0
     assert len(_gate_violations({"q": t}, {"q": ref})) == 1
 
     # healthy result: no settle, no third run
@@ -94,11 +108,12 @@ def test_timed_with_retry_transient_self_heals_but_regression_fails():
     t = _timed_with_retry(lambda: next(seq2), ref, lambda: settles2.append(1))
     assert t == 2.0 and settles2 == []
 
-    # between 2x and 5x: the gate flags it WITHOUT a retry (the retry
-    # only targets the transient band; a 3x slowdown is adjudicated by
-    # the gate as-is)
-    t = _timed_with_retry(lambda: 7.0, ref, lambda: (_ for _ in ()).throw(AssertionError("no settle expected")))
-    assert t == 7.0
+    # slower-but-inside-the-gate (>2x but within the 0.5 s slack):
+    # never retries, never flagged
+    small_ref = 0.2
+    t = _timed_with_retry(lambda: 0.45, small_ref, lambda: (_ for _ in ()).throw(AssertionError("no settle expected")))
+    assert t == 0.45
+    assert _gate_violations({"q": t}, {"q": small_ref}) == []
 
     # no committed reference (new entry): never retries
     seq3 = iter([50.0, 60.0])
