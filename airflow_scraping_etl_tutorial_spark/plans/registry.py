@@ -104,6 +104,7 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops66",  # wave 67, promoted r12
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops67",  # wave 68, promoted r12
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops68",  # wave 69, added r12
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops69",  # wave 70, added r12
 )
 
 # Staged waves: implemented, pytest-covered, strict-oracle-green, but

@@ -360,6 +360,12 @@ AUDITED = (
     # wave 69 (plans/llm_ops68.py, added r12)
     "q450_merge_upsert_idempotent",
     "q451_scd2_validity_intervals",
+    # wave 70 (plans/llm_ops69.py, added r12)
+    "q452_bitmap_exact_distinct",
+    "q453_inverse_distribution_percentiles",
+    "q454_luhn_checksum_validation",
+    "q455_width_bucket_histogram",
+    "q456_parse_url_components",
 )
 
 
