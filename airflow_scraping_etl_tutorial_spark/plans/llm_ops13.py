@@ -108,15 +108,20 @@ def q273_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     never O(n²)); degree is one count over 8-byte ids; the two
     degree joins shuffle ids only; the final reduce is a four-
     accumulator scalar. The edge set feeds the degree count AND both
-    joins, so it is persisted once (8-byte pairs)."""
-    from ..functions.caching import tag_intermediates
+    joins, so it is localCheckpointed once (8-byte pairs; disk-backed
+    lineage truncation — round-12 eviction-hardening, the
+    q226/q250/q331 doctrine: with full lineage an eviction multiplies
+    minhash recomputes across the three consumers)."""
+    from ..functions.caching import release_intermediates
 
     docs = load(spark, sf_dir, "documents")
+    raw = minhash_near_duplicates(docs, jaccard_threshold=0.5)
     e = (
-        minhash_near_duplicates(docs, jaccard_threshold=0.5)
+        raw
         .select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    release_intermediates(raw)
     deg = (
         e.select(F.col("a").alias("doc_id"))
         .unionAll(e.select(F.col("b").alias("doc_id")))
@@ -156,7 +161,7 @@ def q273_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_ppm.cast("bigint").alias("assortativity_ppm"),
         )
     )
-    return tag_intermediates(out, e)
+    return out
 
 
 # ---------------------------------------------------------------------------

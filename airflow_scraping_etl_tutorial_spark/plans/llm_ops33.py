@@ -113,8 +113,16 @@ def q337_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction; the q68 max_bucket_size cap bounds any hot
     vertex). Nodes with degree < 2 are excluded (a triangle needs
     two incident edges)."""
+    from ..functions.caching import release_intermediates
+
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5).persist()
+    # localCheckpoint (disk-backed lineage truncation) instead of
+    # persist: the edge set feeds FOUR consumers (three triangle-join
+    # aliases + the degree count) — round-12 eviction-hardening
+    # (q226/q250/q331 doctrine).
+    raw = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    pairs = raw.localCheckpoint(eager=True)
+    release_intermediates(raw)
     p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
     tri = (
         p1.join(p2, F.col("p2.doc_id_a") == F.col("p1.doc_id_b"))
@@ -159,7 +167,7 @@ def q337_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("triangles"), F.desc("clustering_ppm"), "doc_id")
         .limit(20)
     )
-    return tag_intermediates(out, pairs)
+    return out
 
 
 # ---------------------------------------------------------------------------

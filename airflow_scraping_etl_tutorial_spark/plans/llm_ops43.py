@@ -114,11 +114,17 @@ def q372_kcenter_coreset_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("_e")
-    ).persist()
+    )
     norm = F.sqrt(dot(F.col("_e"), F.col("_e")))
+    # The normalized-vector base is localCheckpointed (disk-backed,
+    # lineage-TRUNCATED) — round-12 eviction-hardening (q226/q250/q331
+    # doctrine): every round re-reads nv, and with full lineage an
+    # eviction multiplies the embedding parse; d1/d2 keep plain
+    # persists because their lineage is now shallow (rooted at the
+    # checkpoint).
     nv = vecs.select(
         "vec_id", "_e", norm.alias("_n")
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     def cos_to(center):
         return dot(F.col("_e"), F.col("_ce")) / (F.col("_n") * F.col("_cn"))
@@ -185,7 +191,7 @@ def q372_kcenter_coreset_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     out = rows[0].union(rows[1]).union(rows[2]).orderBy("k")
-    return tag_intermediates(out, vecs, nv, d1, d2)
+    return tag_intermediates(out, d1, d2)
 
 
 # ---------------------------------------------------------------------------

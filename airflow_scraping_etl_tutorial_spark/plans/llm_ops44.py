@@ -126,9 +126,15 @@ def q375_dup_graph_lang_modularity(
     everything after is two id-keyed joins to a 2-column lang map and
     |langs|-row arithmetic."""
     docs = load(spark, sf_dir, "documents")
+    from ..functions.caching import release_intermediates
     from ..operators.dedup import minhash_near_duplicates
 
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    # lp and scored are localCheckpointed (disk-backed, lineage-
+    # TRUNCATED) rather than persist()ed — round-12 eviction-hardening
+    # (the q226/q250/q331 doctrine): lp feeds 3 consumers and with
+    # full lineage an eviction multiplies minhash recomputes; the
+    # checkpointed degraded mode is a local-disk re-read.
     langs = docs.select("doc_id", "lang")
     lp = (
         pairs.join(
@@ -143,8 +149,9 @@ def q375_dup_graph_lang_modularity(
             ),
             "doc_id_b",
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    release_intermediates(pairs)
     m1 = lp.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     ends = lp.select(
         F.col("doc_id_a").alias("node"), F.col("lang_a").alias("lang")
@@ -208,7 +215,7 @@ def q375_dup_graph_lang_modularity(
         )
         .orderBy("lang")
     )
-    return tag_intermediates(out, lp, scored)
+    return tag_intermediates(out, scored)
 
 
 # ---------------------------------------------------------------------------

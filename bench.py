@@ -66,6 +66,8 @@ HEADLINE = (
     # Added round 11 (self-baselines in BENCH_r11 — first sf0.1
     # measurement becomes its reference):
     "q438_variant_json_extraction",  # VARIANT parse-once/typed-read path
+    # Added round 12 (self-baselines in BENCH_r12):
+    "q452_bitmap_exact_distinct",  # exact mergeable distinct (bitmap aggs)
 )
 
 
