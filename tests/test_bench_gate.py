@@ -91,7 +91,15 @@ def test_timed_with_retry_transient_self_heals_but_regression_fails():
     assert t == 2.0
     assert _gate_violations({"q": t}, {"q": ref}) == []
 
-    # real regression: slow on all three runs -> still fails the gate
+    # longer transient: still violating after the first re-measure,
+    # healed by the second (the round-12 q288 page-cache-cold shape)
+    seq_l = iter([4.5, 4.6, 4.4, 2.0])
+    settles_l = []
+    t = _timed_with_retry(lambda: next(seq_l), ref, lambda: settles_l.append(1))
+    assert t == 2.0 and settles_l == [1, 1]
+    assert _gate_violations({"q": t}, {"q": ref}) == []
+
+    # real regression: slow on all four runs -> still fails the gate
     # (deliberate injected 5x)
     t = _timed_with_retry(lambda: 10.0, ref, lambda: None)
     assert t == 10.0
