@@ -52,54 +52,71 @@ from ..sources.tables import load
 from .registry import query
 
 _PRINCIPAL_KEY_CAP = 64  # orders slice whose revenue seeds the principal
+
+# ROUND-13 HARDENING (the r12 driver hash-FAIL, rows+schema green,
+# strict-local green — the environment-fragility signature): the loop
+# previously carried CAST(ROUND(balance*0.005, 2) AS DECIMAL(18,2))
+# through ~38 recursion levels, so ONE half-cent rounding-tie or
+# decimal-precision-rule difference between engine versions compounds
+# level-over-level. The recursion now runs entirely in the BIGINT
+# integer-cents lane (the round-6 doctrine): interest is half-up
+# integer rounding via (bal*5 + 500) integer-div 1000 — floor division
+# on always-positive operands, identical in both engines — and NO
+# engine ROUND/CAST-to-decimal sits inside the loop. The only dialect
+# difference is the integer-division spelling (Spark `DIV`, DuckDB
+# `//`), hence two texts built from one template.
 _AMORT_SQL = """
 WITH RECURSIVE p AS (
-  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-           AS principal
+  SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS principal_cents
   FROM orders
   WHERE o_orderkey <= {cap}
 ),
 pay AS (
-  SELECT principal,
-         CAST(ROUND(principal * 0.03, 2) AS DECIMAL(18,2)) AS payment
+  SELECT principal_cents,
+         CAST((principal_cents * 3 + 50) {idiv} 100 AS BIGINT) AS payment_cents
   FROM p
 ),
-sched(n, balance) AS (
-  SELECT 0, principal FROM pay
+sched(n, balance_cents) AS (
+  SELECT CAST(0 AS INT), principal_cents FROM pay
   UNION ALL
   SELECT s.n + 1,
-         CAST(s.balance
-              + CAST(ROUND(s.balance * 0.005, 2) AS DECIMAL(18,2))
-              - pay.payment AS DECIMAL(18,2))
+         CAST(s.balance_cents
+              + (s.balance_cents * 5 + 500) {idiv} 1000
+              - pay.payment_cents AS BIGINT)
   FROM sched s CROSS JOIN pay
-  WHERE s.n < 60 AND s.balance > 0
+  WHERE s.n < 60 AND s.balance_cents > 0
 )
-SELECT CAST(n AS INT) AS n, balance FROM sched ORDER BY n
+SELECT CAST(n AS INT) AS n, CAST(balance_cents AS BIGINT) AS balance_cents
+FROM sched ORDER BY n
 """
 
 
 @query(
     "q440_recursive_cte_amortization",
-    oracle=_AMORT_SQL.format(cap=_PRINCIPAL_KEY_CAP),
-    tags=("recursive-cte", "decimal", "iteration"),
+    oracle=_AMORT_SQL.format(cap=_PRINCIPAL_KEY_CAP, idiv="//"),
+    tags=("recursive-cte", "integer-cents", "iteration"),
 )
 def q440_recursive_cte_amortization(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Exact-decimal amortization as a Spark-native WITH RECURSIVE: the
-    principal is the DECIMAL(18,2) revenue of a bounded orderkey slice,
-    the payment is 3% of it, interest accrues at 0.5% per period, and
-    the recursion stops when the balance crosses zero (~38 levels —
-    payment/interest are proportional to the principal, so the depth is
-    scale-invariant and sits far under the engine's level limit of
-    100). Every step re-CASTs to DECIMAL(18,2) so both engines carry
-    the identical type through the loop and ROUND (ties away from zero
-    on positive balances in both) lands on the same cent. Scale note:
-    each level is one tiny self-union over the previous level's rows —
-    the expensive part (the principal aggregate) runs once, outside the
-    loop; the identical SQL text runs on both engines."""
+    """Exact integer-cents amortization as a Spark-native WITH
+    RECURSIVE: the principal is the BIGINT-cents revenue of a bounded
+    orderkey slice, the payment is 3% of it, interest accrues at 0.5%
+    per period (half-up integer rounding: (bal*5+500) div 1000, floor
+    division on positive operands — bit-identical in every engine),
+    and the recursion stops when the balance crosses zero (~38 levels
+    — payment/interest are proportional to the principal, so the depth
+    is scale-invariant and sits far under the engine's level limit of
+    100). The loop contains NO decimal ROUND/CAST (the r12 driver
+    divergence: per-level decimal rounding compounds any cross-version
+    tie-break difference); money enters the attested DOUBLE ->
+    DECIMAL(18,2) -> BIGINT-cents lane once, outside the loop. Scale
+    note: each level is one tiny self-union over the previous level's
+    rows — the expensive part (the principal aggregate) runs once,
+    outside the loop."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_AMORT_SQL.format(cap=_PRINCIPAL_KEY_CAP))
+    return spark.sql(_AMORT_SQL.format(cap=_PRINCIPAL_KEY_CAP, idiv="DIV"))
 
 
 _PIPE_KEY_CAP = 4096

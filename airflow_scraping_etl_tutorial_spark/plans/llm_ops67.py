@@ -71,29 +71,37 @@ from .registry import query
     oracle="""
     SELECT o_orderstatus AS status,
            o_orderpriority AS prio,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-             AS revenue,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
-    tags=("group-by-all", "aggregation", "decimal"),
+    tags=("group-by-all", "aggregation", "integer-cents"),
 )
 def q444_group_by_all_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL + ORDER BY ALL: the engine infers the grouping keys
     (every non-aggregate SELECT item) and the sort keys (every output
     column, left to right). The oracle is the explicit classic form, so
     an inference that picked the wrong key set would change the grain
-    and hash-mismatch. Plan economics identical to q04: pruned scan,
-    partial aggregation, one shuffle on the inferred keys."""
+    and hash-mismatch. ROUND-13 HARDENING (r12 driver hash-FAIL,
+    strict-local green): the compared sum previously aggregated
+    DECIMAL(18,2) over the FULL orders table and rendered DECIMAL(38,2)
+    — its passing twin q441 is identical but key-capped, so a
+    driver-side engine-version divergence on some full-table row's
+    double->decimal rendering was the prime suspect. The sum now runs
+    in exact BIGINT cents (the attested q439/llm_ops64 lane) and no
+    decimal type reaches the compared output. Plan economics identical
+    to q04: pruned scan, partial aggregation, one shuffle on the
+    inferred keys."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT o_orderstatus AS status,
                o_orderpriority AS prio,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-                 AS revenue,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders
         GROUP BY ALL
@@ -321,13 +329,14 @@ _TRY_KEY_CAP = 4096  # bounded deterministic orderkey slice
            CASE WHEN o_custkey > 0 THEN NULL
                 ELSE CAST(9223372036854775807 AS BIGINT)
            END AS overflow_guard,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS decomma_roundtrip,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS decomma_cents,
            CAST(NULL AS DECIMAL(3,0)) AS mismatch_is_null
     FROM orders
     WHERE o_orderkey <= {_TRY_KEY_CAP}
     ORDER BY o_orderkey
     """,
-    tags=("try-functions", "error-safe", "decimal"),
+    tags=("try-functions", "error-safe", "integer-cents"),
 )
 def q449_try_arithmetic_safe_lane(
     spark: SparkSession, sf_dir: str
@@ -336,18 +345,26 @@ def q449_try_arithmetic_safe_lane(
     data-derived zero (orderkey % 3) and must be NULL exactly there;
     try_add(MAX-ck, 2ck) = MAX+ck overflows BIGINT iff ck > 0, so the
     survivor set is data-derived, not hard-coded; try_to_number
-    re-parses the format_number-comma-grouped money string back to the
-    DECIMAL(18,2) it came from (the reference's P3 de-comma scrub,
+    re-parses a comma-grouped money string back to the exact BIGINT
+    cents it came from (the reference's P3 de-comma scrub,
     dags/Final_app.py:52-58, on the engine's third form after the
     inline expression q31 and the SQL UDF q439); and a format-mismatch
     parse ('1-URGENT' against '999') must be NULL, never a thrown task.
-    Divisions stay on integer cents so every non-NULL quotient is a
-    half — exact in binary on both engines. At 100 TB the lane matters
-    because one poisoned row must quarantine as NULL, not kill the
-    stage (the try_parse_json doctrine, functions/semistructured.py)."""
+    ROUND-13 HARDENING (r12 driver hash-FAIL, strict-local green): the
+    grouped string was previously built with format_number, whose
+    grouping characters follow the JVM DEFAULT LOCALE — the exact trap
+    q439 was purged of in round 12. The grouping is now the locale-free
+    reverse/regexp-lookahead/reverse Catalyst expression (q439's
+    _comma_grouped), the round-trip runs on integer cents, and the
+    oracle states the identity directly — nothing locale- or
+    formatter-sensitive remains in the compared path. Divisions stay on
+    integer cents so every non-NULL quotient is a half — exact in
+    binary on both engines. At 100 TB the lane matters because one
+    poisoned row must quarantine as NULL, not kill the stage (the
+    try_parse_json doctrine, functions/semistructured.py)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
-        f"""
+        rf"""
         SELECT o_orderkey,
                try_divide(
                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
@@ -356,9 +373,13 @@ def q449_try_arithmetic_safe_lane(
                try_add(9223372036854775807 - o_custkey, o_custkey * 2)
                  AS overflow_guard,
                CAST(try_to_number(
-                 format_number(CAST(o_totalprice AS DECIMAL(18,2)), 2),
-                 '999,999,999.99'
-               ) AS DECIMAL(18,2)) AS decomma_roundtrip,
+                 reverse(regexp_replace(
+                   reverse(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) AS STRING)),
+                   '(\\d{{3}})(?=\\d)', '$1,'
+                 )),
+                 '999,999,999,999,999'
+               ) AS BIGINT) AS decomma_cents,
                try_to_number(o_orderpriority, '999') AS mismatch_is_null
         FROM orders
         WHERE o_orderkey <= {_TRY_KEY_CAP}

@@ -7,7 +7,7 @@ python while-loop over the fetched price list."""
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
+from decimal import Decimal
 
 import pytest
 
@@ -55,29 +55,29 @@ def test_wave67_live_and_tiered():
 # Replays and invariants
 # ---------------------------------------------------------------------------
 
-_CENT = Decimal("0.01")
 
 
 def test_recursive_amortization_python_replay(spark, duck):
-    """Replay the whole schedule with decimal.Decimal (ROUND_HALF_UP —
-    both engines round positive ties away from zero): principal from
+    """Replay the whole schedule in pure python INTEGER CENTS (the r13
+    rebuild: no decimal ROUND/CAST inside the loop — half-up interest
+    is (bal*5 + 500)//1000 on always-positive balances): principal from
     the same bounded slice, 0.5% interest, 3% payment, stop when the
-    balance crosses zero. Every (n, balance) row must match to the
-    cent, including the final negative-balance row."""
-    (principal,) = duck.sql(
-        f"SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    balance crosses zero. Every (n, balance_cents) row must match
+    exactly, including the final negative-balance row."""
+    (principal_cents,) = duck.sql(
+        f"SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+        f"AS BIGINT)) AS BIGINT) "
         f"FROM orders WHERE o_orderkey <= {_PRINCIPAL_KEY_CAP}"
     ).fetchone()
-    principal = Decimal(principal)
-    payment = (principal * Decimal("0.03")).quantize(_CENT, ROUND_HALF_UP)
-    want = [(0, principal)]
-    n, bal = 0, principal
+    payment = (principal_cents * 3 + 50) // 100
+    want = [(0, principal_cents)]
+    n, bal = 0, principal_cents
     while n < 60 and bal > 0:
-        interest = (bal * Decimal("0.005")).quantize(_CENT, ROUND_HALF_UP)
+        interest = (bal * 5 + 500) // 1000
         n, bal = n + 1, bal + interest - payment
         want.append((n, bal))
     got = [
-        (r.n, r.balance)
+        (r.n, r.balance_cents)
         for r in _REGISTRY["q440_recursive_cte_amortization"]
         .fn(spark, SF_DIR)
         .collect()

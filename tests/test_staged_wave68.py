@@ -68,11 +68,11 @@ def test_group_by_all_python_replay(spark, duck):
     ).fetchall()
     want: dict[tuple[str, str], list] = {}
     for status, prio, price in base:
-        acc = want.setdefault((status, prio), [Decimal(0), 0])
-        acc[0] += Decimal(price)
+        acc = want.setdefault((status, prio), [0, 0])
+        acc[0] += int(Decimal(price) * 100)  # exact integer cents (r13 lane)
         acc[1] += 1
     got = {
-        (r.status, r.prio): (r.revenue, r.n_orders)
+        (r.status, r.prio): (r.revenue_cents, r.n_orders)
         for r in _REGISTRY["q444_group_by_all_pricing"].fn(spark, SF_DIR).collect()
     }
     assert got == {k: (a[0], a[1]) for k, a in want.items()}
@@ -135,7 +135,8 @@ def test_hll_native_estimate_vs_exact(spark, duck):
 def test_try_lane_python_replay(spark, duck):
     """NULL placement replayed row-by-row: cents_per_k is NULL exactly
     on orderkey%3==0, overflow_guard NULL exactly on custkey>0, the
-    de-comma round-trip returns the original decimal, and the
+    de-comma round-trip returns the original exact integer cents (r13:
+    locale-free grouping, never format_number), and the
     format-mismatch column is NULL everywhere."""
     base = duck.sql(
         f"SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) "
@@ -150,12 +151,12 @@ def test_try_lane_python_replay(spark, duck):
                 key,
                 None if k == 0 else cents / k,  # halves: exact in binary
                 None if ck > 0 else 9223372036854775807,
-                Decimal(price),
+                cents,
                 None,
             )
         )
     got = [
-        (r.o_orderkey, r.cents_per_k, r.overflow_guard, r.decomma_roundtrip,
+        (r.o_orderkey, r.cents_per_k, r.overflow_guard, r.decomma_cents,
          r.mismatch_is_null)
         for r in _REGISTRY["q449_try_arithmetic_safe_lane"].fn(spark, SF_DIR).collect()
     ]
