@@ -870,11 +870,13 @@ def q257_adamic_adar_brand_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pairs come from the per-order self-join whose quadratic
     term is bounded by brands-per-order (≤ |brands|), the same
     economics as q164; weights ride a broadcast-sized (order, wt)
-    table only for orders with ≥ 2 brands."""
+    table only for orders with ≥ 2 brands. part scales with SF, so
+    the li-part join carries no forced broadcast hint (r13) — AQE
+    decides at runtime."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
         .persist()

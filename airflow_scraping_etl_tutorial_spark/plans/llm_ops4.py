@@ -708,14 +708,16 @@ def q164_brand_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the top brand pairs bought together
     in one order — the association-mining shape (self-join on the
     basket key) that also powers doc-level tag co-occurrence in a
-    curation pipeline. The part dim broadcasts; baskets collapse to
+    curation pipeline. part SCALES with SF, so no forced broadcast
+    hint (r13) — AQE picks broadcast while it fits and degrades to a
+    shuffled join beyond the threshold; baskets collapse to
     DISTINCT (order, brand) first, so the self-join's quadratic term is
     bounded by the BRAND count per order (<= ~25 brands total), never
     by line items. TakeOrderedAndProject caps the output at 20."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )
