@@ -87,3 +87,29 @@ def release_session_intermediates(spark: SparkSession, blocking: bool = False) -
     while bucket:
         bucket.pop().unpersist(blocking=blocking)
     return n
+
+
+def release_session_checkpoints(spark: SparkSession, blocking: bool = False) -> int:
+    """Unpersist the RDD blocks behind every localCheckpoint() this
+    session still holds. localCheckpoint truncates lineage by PERSISTING
+    the RDD outside the DataFrame-cache registry, so neither
+    `release_session_intermediates` nor `spark.catalog.clearCache()`
+    frees those blocks — absent this call they are reclaimed only when
+    the ContextCleaner GCs the reference, i.e. nondeterministically
+    across a long single-session sweep (r12 ADVICE). Walks
+    `sc.getPersistentRDDs` and unpersists exactly the locally
+    checkpointed entries, leaving DataFrame-cached blocks to
+    clearCache. Safe between queries: a released checkpoint's
+    DataFrame must not be re-read afterwards (its lineage is gone),
+    which holds for run-a-query-then-clean loops that rebuild each
+    plan from its spec. Returns the number released."""
+    sc = spark.sparkContext._jsc.sc()
+    jmap = spark._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+        sc.getPersistentRDDs()
+    )
+    n = 0
+    for rdd in jmap.values():
+        if rdd.isLocallyCheckpointed():
+            rdd.unpersist(blocking)
+            n += 1
+    return n

@@ -103,6 +103,15 @@ _QUERY_MODULES = (
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops65",  # wave 66, promoted r11
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops66",  # wave 67, promoted r12
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops67",  # wave 68, promoted r12
+    # Waves 69-70 entered _QUERY_MODULES directly in round 12 — a
+    # DELIBERATE exception to the stage-one-round-then-promote protocol
+    # every wave 12-68 followed (r12 ADVICE asked this be recorded):
+    # round 12 had attestation budget to spare, both waves were
+    # strict-oracle-green at three SFs before registration, and the
+    # driver attested all nine entries (q448, q450-q456) GREEN that
+    # same round — the staging protocol's purpose (never burn a driver
+    # attestation on an unproven entry) was met by the pre-checks.
+    # Future waves default back to STAGED_MODULES first.
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops68",  # wave 69, added r12
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops69",  # wave 70, added r12
 )

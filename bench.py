@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from airflow_scraping_etl_tutorial_spark.functions.caching import (  # noqa: E402
+    release_session_checkpoints,
     release_session_intermediates,
 )
 from airflow_scraping_etl_tutorial_spark.plans import all_queries  # noqa: E402
@@ -172,7 +173,7 @@ def _gate_violations(
     ]
 
 
-def _timed_with_retry(run_once, ref: float | None, settle) -> float:
+def _timed_with_retry(run_once, ref: float | None, settle) -> tuple[float, int]:
     """Best-of-two timed runs, plus self-healing re-measures: while the
     running best lands where the gate would flag it (>2x its committed
     reference AND >0.5 s over — the _gate_violations predicate), settle
@@ -185,14 +186,26 @@ def _timed_with_retry(run_once, ref: float | None, settle) -> float:
     (round-12 local runs: q154 at 2.01x, q288 at 2.007x — 0.4% over —
     with untouched plans). A transient cannot fail the gate; a REAL
     regression is slow on all four runs and still trips it. Queries
-    with no committed reference never retry."""
+    with no committed reference never retry.
+
+    Returns (best_sec, n_retries). n_retries > 0 means the gate WOULD
+    have flagged the best-of-two and a post-settle re-measure rescued
+    (or failed to rescue) it — surfaced as "self_healed" in the JSON so
+    a masked intermittent regression stays auditable (r12 ADVICE: a
+    rescued query must be distinguishable from a clean pass). The retry
+    count is CAPPED at two and frozen at that cap by
+    tests/test_bench_gate.py: this is the second loosening of the gate
+    in two rounds (5x band -> gate threshold, 1 retry -> 2); if the
+    gate still flags, investigate the box — do not add a third retry."""
     t = min(run_once(), run_once())
+    retries = 0
     for _ in range(2):
         if not (ref is not None and _gate_violations({"q": t}, {"q": ref})):
             break
         settle()
         t = min(t, run_once())
-    return t
+        retries += 1
+    return t, retries
 
 
 def main() -> None:
@@ -205,9 +218,12 @@ def main() -> None:
     def run(name: str) -> float:
         # isolate queries: drain operator-tagged persisted intermediates
         # (q68's signature cache etc. — the documented release path for
-        # run-a-query-then-clean loops) plus a catalog-wide clearCache,
-        # so one query's cache/GC pressure can't skew the next
+        # run-a-query-then-clean loops), the RDD blocks behind any
+        # localCheckpoint (which neither of the other two paths frees —
+        # r12 ADVICE), plus a catalog-wide clearCache, so one query's
+        # cache/GC pressure can't skew the next
         release_session_intermediates(spark)
+        release_session_checkpoints(spark)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -232,14 +248,15 @@ def main() -> None:
         else {}
     )
     timings = {}
+    self_healed: dict[str, int] = {}
     for name in HEADLINE:
         run(name)
-        timings[name] = round(
-            _timed_with_retry(
-                lambda: run(name), refs.get(name), lambda: time.sleep(10)
-            ),
-            3,
+        t, retries = _timed_with_retry(
+            lambda: run(name), refs.get(name), lambda: time.sleep(10)
         )
+        timings[name] = round(t, 3)
+        if retries:
+            self_healed[name] = retries
 
     print(
         json.dumps(
@@ -248,6 +265,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # Queries whose best-of-two would have FAILED the gate
+                # and took post-settle re-measures (value = how many):
+                # a rescue is visible in the artifact, never silent
+                # (r12 ADVICE). Empty dict = every query passed clean.
+                "self_healed": self_healed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

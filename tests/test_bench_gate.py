@@ -75,58 +75,65 @@ def test_timed_with_retry_transient_self_heals_but_regression_fails():
     while a deliberate CONSISTENT regression — 5x or a marginal 2.1x —
     must still be flagged by the 2x gate. The retry triggers exactly
     where the gate would flag (>2x AND >0.5 s over): round 12 caught
-    q154 at a transient 2.01x, below the original 5x retry band."""
+    q154 at a transient 2.01x, below the original 5x retry band.
+    Round 13 (r12 ADVICE): the function now RETURNS the retry count so
+    a rescue is visible in the bench artifact, and the cap is frozen
+    at two — if the gate flags again, investigate the box, do not
+    loosen further."""
     ref = 2.0
 
-    # transient: both timed runs 9x, the post-settle run healthy
+    # transient: both timed runs 9x, the post-settle run healthy —
+    # rescued, and the rescue is VISIBLE (retries == 1)
     seq = iter([18.0, 18.5, 2.1])
     settles = []
-    t = _timed_with_retry(lambda: next(seq), ref, lambda: settles.append(1))
-    assert t == 2.1 and settles == [1]
+    t, n = _timed_with_retry(lambda: next(seq), ref, lambda: settles.append(1))
+    assert (t, n) == (2.1, 1) and settles == [1]
     assert _gate_violations({"q": t}, {"q": ref}) == []
 
     # marginal transient (just over 2x) self-heals the same way
     seq_m = iter([4.2, 4.3, 2.0])
-    t = _timed_with_retry(lambda: next(seq_m), ref, lambda: None)
-    assert t == 2.0
+    t, n = _timed_with_retry(lambda: next(seq_m), ref, lambda: None)
+    assert (t, n) == (2.0, 1)
     assert _gate_violations({"q": t}, {"q": ref}) == []
 
     # longer transient: still violating after the first re-measure,
     # healed by the second (the round-12 q288 page-cache-cold shape)
     seq_l = iter([4.5, 4.6, 4.4, 2.0])
     settles_l = []
-    t = _timed_with_retry(lambda: next(seq_l), ref, lambda: settles_l.append(1))
-    assert t == 2.0 and settles_l == [1, 1]
+    t, n = _timed_with_retry(lambda: next(seq_l), ref, lambda: settles_l.append(1))
+    assert (t, n) == (2.0, 2) and settles_l == [1, 1]
     assert _gate_violations({"q": t}, {"q": ref}) == []
 
-    # real regression: slow on all four runs -> still fails the gate
-    # (deliberate injected 5x)
-    t = _timed_with_retry(lambda: 10.0, ref, lambda: None)
-    assert t == 10.0
+    # real regression: slow on ALL runs -> still fails the gate after
+    # exactly two (capped) rescue attempts — never a third
+    calls = []
+    t, n = _timed_with_retry(lambda: calls.append(1) or 10.0, ref, lambda: None)
+    assert (t, n) == (10.0, 2)
+    assert len(calls) == 4  # 2 timed + 2 capped re-measures, no more
     assert len(_gate_violations({"q": t}, {"q": ref})) == 1
 
     # real MARGINAL regression: consistently 3x -> still fails
-    t = _timed_with_retry(lambda: 6.0, ref, lambda: None)
-    assert t == 6.0
+    t, n = _timed_with_retry(lambda: 6.0, ref, lambda: None)
+    assert (t, n) == (6.0, 2)
     assert len(_gate_violations({"q": t}, {"q": ref})) == 1
 
-    # healthy result: no settle, no third run
+    # healthy result: no settle, no third run, retries == 0
     seq2 = iter([2.2, 2.0])
     settles2 = []
-    t = _timed_with_retry(lambda: next(seq2), ref, lambda: settles2.append(1))
-    assert t == 2.0 and settles2 == []
+    t, n = _timed_with_retry(lambda: next(seq2), ref, lambda: settles2.append(1))
+    assert (t, n) == (2.0, 0) and settles2 == []
 
     # slower-but-inside-the-gate (>2x but within the 0.5 s slack):
     # never retries, never flagged
     small_ref = 0.2
-    t = _timed_with_retry(lambda: 0.45, small_ref, lambda: (_ for _ in ()).throw(AssertionError("no settle expected")))
-    assert t == 0.45
+    t, n = _timed_with_retry(lambda: 0.45, small_ref, lambda: (_ for _ in ()).throw(AssertionError("no settle expected")))
+    assert (t, n) == (0.45, 0)
     assert _gate_violations({"q": t}, {"q": small_ref}) == []
 
     # no committed reference (new entry): never retries
     seq3 = iter([50.0, 60.0])
-    t = _timed_with_retry(lambda: next(seq3), None, lambda: (_ for _ in ()).throw(AssertionError("no settle expected")))
-    assert t == 50.0
+    t, n = _timed_with_retry(lambda: next(seq3), None, lambda: (_ for _ in ()).throw(AssertionError("no settle expected")))
+    assert (t, n) == (50.0, 0)
 
 
 def test_r05_baseline_wins_over_later_rounds():

@@ -564,6 +564,38 @@ def test_release_session_intermediates_survives_chaining(spark, docs):
     assert release_session_intermediates(spark) == 0  # idempotent
 
 
+def test_release_session_checkpoints_frees_rdd_blocks(spark):
+    """localCheckpoint RDD blocks are invisible to BOTH the
+    intermediates registry and spark.catalog.clearCache() — without
+    the targeted release they linger until the ContextCleaner GCs the
+    reference, i.e. nondeterministically across a long sweep (r12
+    ADVICE). The release must free exactly the locally checkpointed
+    entries and be idempotent."""
+    from airflow_scraping_etl_tutorial_spark.functions.caching import (
+        release_session_checkpoints,
+    )
+
+    release_session_checkpoints(spark)  # drain leftovers from other tests
+
+    def n_persistent():
+        sc = spark.sparkContext._jsc.sc()
+        return spark._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+            sc.getPersistentRDDs()
+        ).size()
+
+    base = n_persistent()
+    ck = spark.range(10_000).selectExpr("id", "id * 2 AS v").localCheckpoint(
+        eager=True
+    )
+    ck.count()
+    assert n_persistent() == base + 1
+    spark.catalog.clearCache()  # does NOT free checkpoint blocks
+    assert n_persistent() == base + 1
+    assert release_session_checkpoints(spark, blocking=True) >= 1
+    assert n_persistent() <= base
+    assert release_session_checkpoints(spark) == 0  # idempotent
+
+
 def test_ngram_jaccard_stop_shingle_pruning(spark, docs):
     """Stop-shingle cap drops hot shingles from the INDEX only: the
     near-dup pair is still found through its cold shared shingles and

@@ -21,6 +21,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from airflow_scraping_etl_tutorial_spark.functions.caching import (  # noqa: E402
+    release_session_checkpoints,
     release_session_intermediates,
 )
 from airflow_scraping_etl_tutorial_spark.plans import all_queries  # noqa: E402
@@ -327,11 +328,14 @@ def main() -> int:
             print(f"ok   {name}: {len(srows)} rows ({time.time() - t0:.1f}s){note}")
             n_pass += 1
         # Drain operator-tagged persisted intermediates (minhash
-        # signatures, sketch counters, frame digests, ...): a full
-        # catalog sweep shares one 48g JVM with the DuckDB oracle, and
-        # without the per-query drain every persist-heavy entry's cache
-        # blocks stay pinned for the rest of the run.
+        # signatures, sketch counters, frame digests, ...) AND the RDD
+        # blocks behind any localCheckpoint (invisible to both the
+        # registry and clearCache — r12 ADVICE): a full catalog sweep
+        # shares one 48g JVM with the DuckDB oracle, and without the
+        # per-query drain every persist-heavy entry's blocks stay
+        # pinned for the rest of the run.
         release_session_intermediates(spark)
+        release_session_checkpoints(spark)
 
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
     return 1 if n_fail else 0
