@@ -59,6 +59,13 @@ def get_spark(
         # unreadable by Spark; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Extra driver jars (e.g. the Postgres JDBC driver for the
+    # reference's real sink — tests/test_postgres_live.py). Comma-
+    # separated jar paths; only effective for the process that CREATES
+    # the session, like every other builder config.
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if extra_jars:
+        builder = builder.config("spark.jars", extra_jars)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
