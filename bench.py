@@ -222,8 +222,11 @@ def main() -> None:
         # localCheckpoint (which neither of the other two paths frees —
         # r12 ADVICE), plus a catalog-wide clearCache, so one query's
         # cache/GC pressure can't skew the next
-        release_session_intermediates(spark)
-        release_session_checkpoints(spark)
+        release_session_intermediates(spark, blocking=True)
+        # blocking=True: async removal work must not bleed into the
+        # timed region that follows (A/B-checked r13: interleaved
+        # mins are mode-identical, so the determinism is free).
+        release_session_checkpoints(spark, blocking=True)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
