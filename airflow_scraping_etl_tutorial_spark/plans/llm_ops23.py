@@ -135,9 +135,12 @@ def q312_zorder_skipping_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition (the max event_id for the natural layout comes from a
     1-row broadcast instead).
 
-    Scale: one map pass to coordinates + Morton code, one
-    (layout, file) min/max aggregation (map-side combinable, 96
-    groups), a 3-row probe broadcast. Nothing shuffles but digests."""
+    Scale: one map pass to coordinates + Morton code (r13: the three
+    layouts EXPLODE from that single pass — the previous 3-way union
+    re-scanned events per branch, Spark unions don't share common
+    subplans), one (layout, file) min/max aggregation (map-side
+    combinable, 96 groups), a 3-row probe broadcast. Nothing shuffles
+    but digests."""
     ev = load(spark, sf_dir, "events")
     e = ev.select(
         "event_id",
@@ -152,28 +155,44 @@ def q312_zorder_skipping_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cu").alias("mc"),
         F.max("zv").alias("mz"),
     )
+    # ONE pass (r13): the three layouts explode from a single
+    # projection instead of a 3-way union — a DataFrame union does NOT
+    # share its branches' common subplan, so the previous shape
+    # re-scanned events and recomputed the Morton code three times.
+    # The explode triples rows map-side for exactly one operator
+    # before the partial aggregation collapses them into the 96
+    # (layout, file) groups; at 100 TB the saving is two full scans
+    # of the fact table.
     zm = z.crossJoin(F.broadcast(mx))
-    natural = zm.select(
-        F.lit("natural").alias("layout"),
-        F.expr(f"event_id * {_N_FILES} div (m + 1)").alias("file_id"),
-        "cu",
-        "cd",
-    )
-    linear = zm.select(
-        F.lit("linear").alias("layout"),
-        F.expr(f"cu * {_N_FILES} div (mc + 1)").alias("file_id"),
-        "cu",
-        "cd",
-    )
-    zorder = zm.select(
-        F.lit("zorder").alias("layout"),
-        F.expr(f"zv * {_N_FILES} div (mz + 1)").alias("file_id"),
+    exploded = zm.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.expr(f"event_id * {_N_FILES} div (m + 1)").alias(
+                        "file_id"
+                    ),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(f"cu * {_N_FILES} div (mc + 1)").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"zv * {_N_FILES} div (mz + 1)").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
         "cu",
         "cd",
     )
     stats = (
-        natural.unionByName(linear)
-        .unionByName(zorder)
+        exploded.select(
+            F.col("lf.layout").alias("layout"),
+            F.col("lf.file_id").alias("file_id"),
+            "cu",
+            "cd",
+        )
         .groupBy("layout", "file_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
