@@ -122,7 +122,13 @@ _QUERY_MODULES = (
 # audit, catalog lint, staged sweeps) loads them from here so the
 # list cannot drift between consumers. Promotion = move the module
 # name into _QUERY_MODULES above.
-STAGED_MODULES: tuple[str, ...] = ()
+STAGED_MODULES: tuple[str, ...] = (
+    # wave 71 (staged r13; the default protocol resumes after the
+    # r12 waves-69/70 exception recorded above): regr_* audit,
+    # str_to_map, interval arithmetic, array mutations, try_cast,
+    # collated grouping. Promotion = move into _QUERY_MODULES r14.
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops70",
+)
 
 
 @dataclass(frozen=True)

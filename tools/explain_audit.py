@@ -366,6 +366,13 @@ AUDITED = (
     "q454_luhn_checksum_validation",
     "q455_width_bucket_histogram",
     "q456_parse_url_components",
+    # wave 71 (plans/llm_ops70.py, STAGED r13)
+    "q457_regr_linear_family",
+    "q458_str_to_map_kv_extraction",
+    "q459_interval_date_arithmetic",
+    "q460_array_mutation_functions",
+    "q461_try_cast_quarantine",
+    "q462_collated_case_insensitive_grouping",
 )
 
 
