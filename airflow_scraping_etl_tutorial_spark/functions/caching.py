@@ -89,9 +89,33 @@ def release_session_intermediates(spark: SparkSession, blocking: bool = False) -
     return n
 
 
-def release_session_checkpoints(spark: SparkSession, blocking: bool = False) -> int:
+def _checkpointed_rdds(spark: SparkSession):
+    sc = spark.sparkContext._jsc.sc()
+    jmap = spark._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+        sc.getPersistentRDDs()
+    )
+    return [rdd for rdd in jmap.values() if rdd.isLocallyCheckpointed()]
+
+
+def snapshot_checkpoints(spark: SparkSession) -> frozenset[int]:
+    """RDD ids of every locally-checkpointed RDD alive right now. Take
+    one BEFORE running scoped work, then pass it as `protect` to
+    `release_session_checkpoints` so the sweep frees only checkpoints
+    created inside the scope — pre-existing live checkpointed
+    DataFrames (whose truncated lineage could never be recomputed)
+    keep their blocks (r13 ADVICE: the session-wide sweep is a
+    foot-gun for callers that hold live checkpoints across it)."""
+    return frozenset(rdd.id() for rdd in _checkpointed_rdds(spark))
+
+
+def release_session_checkpoints(
+    spark: SparkSession,
+    blocking: bool = False,
+    protect: frozenset[int] = frozenset(),
+) -> int:
     """Unpersist the RDD blocks behind every localCheckpoint() this
-    session still holds. localCheckpoint truncates lineage by PERSISTING
+    session still holds (minus `protect`, see `snapshot_checkpoints`).
+    localCheckpoint truncates lineage by PERSISTING
     the RDD outside the DataFrame-cache registry, so neither
     `release_session_intermediates` nor `spark.catalog.clearCache()`
     frees those blocks — absent this call they are reclaimed only when
@@ -102,14 +126,14 @@ def release_session_checkpoints(spark: SparkSession, blocking: bool = False) -> 
     clearCache. Safe between queries: a released checkpoint's
     DataFrame must not be re-read afterwards (its lineage is gone),
     which holds for run-a-query-then-clean loops that rebuild each
-    plan from its spec. Returns the number released."""
-    sc = spark.sparkContext._jsc.sc()
-    jmap = spark._jvm.scala.collection.JavaConverters.mapAsJavaMap(
-        sc.getPersistentRDDs()
-    )
+    plan from its spec. Callers that DO hold live checkpointed
+    DataFrames across the sweep must scope it:
+    ``snap = snapshot_checkpoints(spark)`` before the scoped work,
+    ``release_session_checkpoints(spark, protect=snap)`` after.
+    Returns the number released."""
     n = 0
-    for rdd in jmap.values():
-        if rdd.isLocallyCheckpointed():
+    for rdd in _checkpointed_rdds(spark):
+        if rdd.id() not in protect:
             rdd.unpersist(blocking)
             n += 1
     return n

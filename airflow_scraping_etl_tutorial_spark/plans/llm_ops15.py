@@ -474,6 +474,11 @@ def q288_dictionary_encoding_benefit(spark: SparkSession, sf_dir: str) -> DataFr
                 GROUP BY GROUPING SETS ({sets})
                 """
             )
+            # The view is resolved into g's analyzed plan at the
+            # spark.sql call above; drop it immediately so nothing
+            # session-global leaks into the shared bench/correctness
+            # session (ADVICE r13).
+            spark.catalog.dropTempView(f"_dict_{tbl}")
         rows.append(
             g.groupBy("column_name")
             .agg(

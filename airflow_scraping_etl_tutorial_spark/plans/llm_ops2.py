@@ -122,7 +122,15 @@ def _sql_pq_oracle() -> str:
     """PQ encode in DuckDB: md5-sampled codebook (the q76/q96 sampling
     doctrine), one UNION ALL branch per subspace with literal indices so
     the squared-L2 chain is the same left-associated double fold Spark's
-    aggregate() executes."""
+    aggregate() executes.
+
+    Memory doctrine (r14, the q126 driver-OOM fix): the argmin is a
+    streaming hash aggregate MIN([dist, code_id]) — lexicographic list
+    compare reproduces the (dist, code_id) tiebreak — instead of a
+    ROW_NUMBER window, so the oracle never sorts the vectors x codes x
+    subspaces distance rows; and the codebook sample is a top-N LIMIT
+    before the 16-row window rather than a full-table window sort.
+    Verified green under memory_limit=500MB at sf0.1."""
     branches = []
     for s in range(_PQ_SUBSPACES):
         terms = " + ".join(
@@ -139,25 +147,24 @@ def _sql_pq_oracle() -> str:
     union = "\n      UNION ALL\n      ".join(branches)
     return f"""
     WITH sample AS (
-      SELECT * FROM (
-        SELECT vec_id, embedding,
-               ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id)
-                 - 1 AS code_id
-        FROM embeddings) WHERE code_id < {_PQ_CODES}
+      SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS code_id
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_CODES})
     ),
     enc AS (
       {union}
     ),
-    ranked AS (
-      SELECT vec_id, subspace, code_id, dist,
-             ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
-                                ORDER BY dist, code_id) AS rn
-      FROM enc
+    best AS (
+      SELECT vec_id, subspace,
+             MIN([dist, CAST(code_id AS DOUBLE)]) AS b
+      FROM enc GROUP BY vec_id, subspace
     )
     SELECT vec_id, CAST(subspace AS INT) AS subspace,
-           CAST(code_id AS INT) AS code_id,
-           ROUND(dist, 6) AS sq_err
-    FROM ranked WHERE rn = 1 ORDER BY vec_id, subspace
+           CAST(b[2] AS INT) AS code_id,
+           ROUND(b[1], 6) AS sq_err
+    FROM best ORDER BY vec_id, subspace
     """
 
 
@@ -236,7 +243,16 @@ def q126_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_kmeans_trajectory_oracle(n_centroids: int = 8, dim: int = 64) -> str:
     """DuckDB twin of kmeans_training_trajectory (2 iterations):
     replays init sample, both Lloyd steps' decimal-exact means, and the
-    per-iteration max-abs-component movement."""
+    per-iteration max-abs-component movement.
+
+    Memory doctrine (r14, the q127 driver-OOM fix): each Lloyd assign
+    is a streaming hash aggregate MIN(struct(-cosine, cid)) — struct
+    fields compare lexicographically, so -cosine reproduces the
+    (cosine DESC, cid ASC) window order exactly (double negation is
+    bit-exact) — instead of a ROW_NUMBER window carrying every
+    embedding array through a sort; the means re-join embeddings on
+    the model-sized assignment table. Verified green under
+    memory_limit=500MB at sf0.1."""
     means = ", ".join(
         f"CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(18,6)))"
         f" AS DOUBLE) / COUNT(*) AS c_{i}"
@@ -261,19 +277,28 @@ def _sql_kmeans_trajectory_oracle(n_centroids: int = 8, dim: int = 64) -> str:
       ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
     ),
     a1 AS (
-      SELECT e.vec_id, e.embedding, c.cid,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY {_sql_cosine('e.embedding', 'c.ce')} DESC, c.cid) AS rn
+      SELECT e.vec_id,
+             MIN(struct_pack(ng := -({_sql_cosine('e.embedding', 'c.ce')}),
+                             cid := c.cid)) AS b
       FROM embeddings e CROSS JOIN cent0 c
+      GROUP BY e.vec_id
     ),
-    m1 AS (SELECT cid, {means} FROM a1 WHERE rn = 1 GROUP BY cid),
+    g1 AS (SELECT vec_id, struct_extract(b, 'cid') AS cid FROM a1),
+    m1 AS (
+      SELECT g.cid, {means}
+      FROM embeddings e JOIN g1 g ON g.vec_id = e.vec_id GROUP BY g.cid
+    ),
     a2 AS (
-      SELECT e.vec_id, e.embedding, m.cid,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY {cos_m} DESC, m.cid) AS rn
+      SELECT e.vec_id,
+             MIN(struct_pack(ng := -({cos_m}), cid := m.cid)) AS b
       FROM embeddings e CROSS JOIN m1 m
+      GROUP BY e.vec_id
     ),
-    m2 AS (SELECT cid, {means} FROM a2 WHERE rn = 1 GROUP BY cid),
+    g2 AS (SELECT vec_id, struct_extract(b, 'cid') AS cid FROM a2),
+    m2 AS (
+      SELECT g.cid, {means}
+      FROM embeddings e JOIN g2 g ON g.vec_id = e.vec_id GROUP BY g.cid
+    ),
     mv1 AS (
       SELECT 1 AS iteration, COUNT(*) AS n_live,
              MAX(GREATEST({mv1_terms})) AS mx

@@ -100,7 +100,11 @@ def q457_regr_linear_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     last ulps, so the audit asserts |regr − closed| ≤ 1e-9·|closed|
     (booleans the oracle states as constants) while the integer
     payload (n, Σx, Σy) is value-compared exactly. regr_count is
-    additionally pinned to COUNT(*) inside the audit. Scale: one
+    additionally pinned to COUNT(*) inside the audit. Degenerate
+    groups (single row, constant x or y) zero the closed-form
+    denominators — regr_slope is NULL there — so each audit holds
+    vacuously behind an n<=1 / dxx=0 / dyy=0 guard instead of
+    comparing NULL booleans (data-shape robustness at unseen SFs). Scale: one
     pruned scan, map-side-combined partial aggregation, one shuffle
     on the 3-value status key."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -127,31 +131,42 @@ def q457_regr_linear_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                  regr_avgx(y, x) AS r_ax,
                  regr_avgy(y, x) AS r_ay
           FROM b GROUP BY status
+        ),
+        d AS (
+          SELECT a.*,
+                 n * sxy - sx * sy AS cxy,
+                 n * sxx - sx * sx AS dxx,
+                 n * syy - sy * sy AS dyy
+          FROM a
         )
         SELECT status, n, sx, sy,
-               ABS(r_slope - CAST(n * sxy - sx * sy AS DOUBLE)
-                             / CAST(n * sxx - sx * sx AS DOUBLE))
-                 <= {_REL_TOL} * GREATEST(ABS(CAST(n * sxy - sx * sy AS DOUBLE)
-                             / CAST(n * sxx - sx * sx AS DOUBLE)), 1.0)
+               -- Degeneracy guards (ADVICE r13): a single-row or
+               -- constant-x group makes the closed-form denominator
+               -- zero (regr_slope returns NULL there) — the audit
+               -- vacuously holds rather than comparing NULL to TRUE.
+               (n <= 1 OR dxx = 0
+                OR ABS(r_slope - CAST(cxy AS DOUBLE) / CAST(dxx AS DOUBLE))
+                   <= {_REL_TOL} * GREATEST(
+                        ABS(CAST(cxy AS DOUBLE) / CAST(dxx AS DOUBLE)), 1.0))
                  AS slope_ok,
-               ABS(r_icpt - (CAST(sy AS DOUBLE) / n
-                             - (CAST(n * sxy - sx * sy AS DOUBLE)
-                                / CAST(n * sxx - sx * sx AS DOUBLE))
-                               * (CAST(sx AS DOUBLE) / n)))
-                 <= {_REL_TOL} * GREATEST(ABS(CAST(sy AS DOUBLE) / n), 1.0)
+               (n <= 1 OR dxx = 0
+                OR ABS(r_icpt - (CAST(sy AS DOUBLE) / n
+                                 - (CAST(cxy AS DOUBLE) / CAST(dxx AS DOUBLE))
+                                   * (CAST(sx AS DOUBLE) / n)))
+                   <= {_REL_TOL} * GREATEST(ABS(CAST(sy AS DOUBLE) / n), 1.0))
                  AS intercept_ok,
-               ABS(r_r2 - CAST(n * sxy - sx * sy AS DOUBLE)
-                          * CAST(n * sxy - sx * sy AS DOUBLE)
-                          / (CAST(n * sxx - sx * sx AS DOUBLE)
-                             * CAST(n * syy - sy * sy AS DOUBLE)))
-                 <= {_REL_TOL} AND r_n = n
+               ((n <= 1 OR dxx = 0 OR dyy = 0
+                 OR ABS(r_r2 - CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE)
+                               / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)))
+                    <= {_REL_TOL})
+                AND r_n = n)
                  AS r2_ok,
-               ABS(r_ax - CAST(sx AS DOUBLE) / n)
-                 <= {_REL_TOL} * ABS(CAST(sx AS DOUBLE) / n)
-               AND ABS(r_ay - CAST(sy AS DOUBLE) / n)
-                 <= {_REL_TOL} * ABS(CAST(sy AS DOUBLE) / n)
+               (ABS(r_ax - CAST(sx AS DOUBLE) / n)
+                  <= {_REL_TOL} * GREATEST(ABS(CAST(sx AS DOUBLE) / n), 1.0)
+                AND ABS(r_ay - CAST(sy AS DOUBLE) / n)
+                  <= {_REL_TOL} * GREATEST(ABS(CAST(sy AS DOUBLE) / n), 1.0))
                  AS avg_ok
-        FROM a ORDER BY status
+        FROM d ORDER BY status
         """
     )
 

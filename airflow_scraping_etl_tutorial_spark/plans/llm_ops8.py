@@ -68,19 +68,24 @@ _PF_T = 0.5  # Jaccard threshold; prefix length n - ceil(t*n) + 1
       FROM pref a JOIN pref b
         ON a.tok = b.tok AND a.doc_id < b.doc_id
     ),
-    sets AS (
-      SELECT doc_id, LIST(tok) AS lst, COUNT(*) AS n FROM tp GROUP BY doc_id
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tp GROUP BY doc_id),
+    ix AS (
+      -- Count-based intersect over candidate pairs only: streams
+      -- token rows through a hash aggregate instead of materializing
+      -- per-doc LIST(tok) and LIST_INTERSECT-ing them per candidate
+      -- (the r12 35-min/15-GB oracle; low-memory doctrine r14).
+      SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN tp a ON a.doc_id = c.doc_id_a
+      JOIN tp b ON b.doc_id = c.doc_id_b AND b.tok = a.tok
+      GROUP BY c.doc_id_a, c.doc_id_b
     )
-    SELECT c.doc_id_a, c.doc_id_b,
-           ROUND(CAST(LEN(LIST_INTERSECT(sa.lst, sb.lst)) AS DOUBLE)
-                 / (sa.n + sb.n - LEN(LIST_INTERSECT(sa.lst, sb.lst))), 6)
-             AS jaccard
-    FROM cand c
-    JOIN sets sa ON sa.doc_id = c.doc_id_a
-    JOIN sets sb ON sb.doc_id = c.doc_id_b
-    WHERE ROUND(CAST(LEN(LIST_INTERSECT(sa.lst, sb.lst)) AS DOUBLE)
-                / (sa.n + sb.n - LEN(LIST_INTERSECT(sa.lst, sb.lst))), 6)
-            >= 0.5
+    SELECT x.doc_id_a, x.doc_id_b,
+           ROUND(CAST(x.i AS DOUBLE) / (sa.n + sb.n - x.i), 6) AS jaccard
+    FROM ix x
+    JOIN sz sa ON sa.doc_id = x.doc_id_a
+    JOIN sz sb ON sb.doc_id = x.doc_id_b
+    WHERE ROUND(CAST(x.i AS DOUBLE) / (sa.n + sb.n - x.i), 6) >= 0.5
     ORDER BY doc_id_a, doc_id_b
     """,
     tags=("llm", "dedup", "setjoin", "prefixfilter"),

@@ -114,6 +114,7 @@ _QUERY_MODULES = (
     # Future waves default back to STAGED_MODULES first.
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops68",  # wave 69, added r12
     "airflow_scraping_etl_tutorial_spark.plans.llm_ops69",  # wave 70, added r12
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops70",  # wave 71, promoted r14
 )
 
 # Staged waves: implemented, pytest-covered, strict-oracle-green, but
@@ -123,11 +124,8 @@ _QUERY_MODULES = (
 # list cannot drift between consumers. Promotion = move the module
 # name into _QUERY_MODULES above.
 STAGED_MODULES: tuple[str, ...] = (
-    # wave 71 (staged r13; the default protocol resumes after the
-    # r12 waves-69/70 exception recorded above): regr_* audit,
-    # str_to_map, interval arithmetic, array mutations, try_cast,
-    # collated grouping. Promotion = move into _QUERY_MODULES r14.
-    "airflow_scraping_etl_tutorial_spark.plans.llm_ops70",
+    # empty: wave 71 (llm_ops70) promoted r14 per the
+    # stage-one-round-then-promote protocol.
 )
 
 

@@ -190,9 +190,11 @@ def _timed_with_retry(run_once, ref: float | None, settle) -> tuple[float, int]:
 
     Returns (best_sec, n_retries). n_retries > 0 means the gate WOULD
     have flagged the best-of-two and a post-settle re-measure rescued
-    (or failed to rescue) it — surfaced as "self_healed" in the JSON so
-    a masked intermittent regression stays auditable (r12 ADVICE: a
-    rescued query must be distinguishable from a clean pass). The retry
+    (or failed to rescue) it — surfaced as "gate_retries" in the JSON
+    with a per-entry rescued flag (r13 ADVICE: a FAILED rescue must not
+    be labeled as healed), so a masked intermittent regression stays
+    auditable (r12 ADVICE: a rescued query must be distinguishable
+    from a clean pass). The retry
     count is CAPPED at two and frozen at that cap by
     tests/test_bench_gate.py: this is the second loosening of the gate
     in two rounds (5x band -> gate threshold, 1 retry -> 2); if the
@@ -206,6 +208,22 @@ def _timed_with_retry(run_once, ref: float | None, settle) -> tuple[float, int]:
         t = min(t, run_once())
         retries += 1
     return t, retries
+
+
+def _retry_audit(
+    name: str, t: float, retries: int, refs: dict[str, float]
+) -> dict | None:
+    """The per-query "gate_retries" artifact entry. None for a clean
+    pass (no retries). rescued=False means the capped re-measures did
+    NOT bring the timing under the gate — the run is about to exit 1,
+    and the field must not claim a heal that didn't happen (r13
+    ADVICE, renamed from the int-valued "self_healed")."""
+    if not retries:
+        return None
+    return {
+        "retries": retries,
+        "rescued": not _gate_violations({name: t}, {name: refs[name]}),
+    }
 
 
 def main() -> None:
@@ -251,15 +269,16 @@ def main() -> None:
         else {}
     )
     timings = {}
-    self_healed: dict[str, int] = {}
+    gate_retries: dict[str, dict] = {}
     for name in HEADLINE:
         run(name)
         t, retries = _timed_with_retry(
             lambda: run(name), refs.get(name), lambda: time.sleep(10)
         )
         timings[name] = round(t, 3)
-        if retries:
-            self_healed[name] = retries
+        entry = _retry_audit(name, t, retries, refs)
+        if entry is not None:
+            gate_retries[name] = entry
 
     print(
         json.dumps(
@@ -269,10 +288,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 # Queries whose best-of-two would have FAILED the gate
-                # and took post-settle re-measures (value = how many):
-                # a rescue is visible in the artifact, never silent
-                # (r12 ADVICE). Empty dict = every query passed clean.
-                "self_healed": self_healed,
+                # and took post-settle re-measures, with whether the
+                # re-measures actually rescued the timing: a rescue is
+                # visible in the artifact, never silent (r12 ADVICE),
+                # and a failed rescue is never labeled as healed
+                # (r13 ADVICE — renamed from "self_healed"). Empty
+                # dict = every query passed clean.
+                "gate_retries": gate_retries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

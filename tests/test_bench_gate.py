@@ -16,6 +16,7 @@ from bench import (  # noqa: E402
     HEADLINE,
     _gate_violations,
     _reference_timings,
+    _retry_audit,
     _timed_with_retry,
 )
 
@@ -134,6 +135,21 @@ def test_timed_with_retry_transient_self_heals_but_regression_fails():
     seq3 = iter([50.0, 60.0])
     t, n = _timed_with_retry(lambda: next(seq3), None, lambda: (_ for _ in ()).throw(AssertionError("no settle expected")))
     assert (t, n) == (50.0, 0)
+
+
+def test_retry_audit_distinguishes_rescue_from_failed_rescue():
+    """r13 ADVICE: the artifact field (renamed self_healed ->
+    gate_retries) must not label a FAILED rescue as healed. A clean
+    pass produces no entry; a rescued transient carries rescued=True;
+    a still-violating timing after the capped re-measures carries
+    rescued=False alongside the imminent exit-1."""
+    refs = {"q": 2.0}
+    # clean pass: no artifact entry at all
+    assert _retry_audit("q", 1.9, 0, refs) is None
+    # transient rescued by the re-measure: visible AND labeled healed
+    assert _retry_audit("q", 2.1, 1, refs) == {"retries": 1, "rescued": True}
+    # re-measures exhausted, still >2x AND >0.5s over: NOT healed
+    assert _retry_audit("q", 10.0, 2, refs) == {"retries": 2, "rescued": False}
 
 
 def test_r05_baseline_wins_over_later_rounds():

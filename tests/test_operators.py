@@ -596,6 +596,37 @@ def test_release_session_checkpoints_frees_rdd_blocks(spark):
     assert release_session_checkpoints(spark) == 0  # idempotent
 
 
+def test_release_session_checkpoints_protect_scopes_the_sweep(spark):
+    """r13 ADVICE: the session-wide sweep is a foot-gun for callers
+    holding live checkpointed DataFrames (truncated lineage — losing
+    blocks is unrecoverable). snapshot_checkpoints + protect= scopes
+    the sweep to checkpoints created INSIDE the scope: the protected
+    pre-existing checkpoint keeps its blocks and stays readable; a
+    follow-up unscoped sweep still frees it."""
+    from airflow_scraping_etl_tutorial_spark.functions.caching import (
+        release_session_checkpoints,
+        snapshot_checkpoints,
+    )
+
+    release_session_checkpoints(spark, blocking=True)
+    live = spark.range(1_000).selectExpr("id", "id * 3 AS v").localCheckpoint(
+        eager=True
+    )
+    assert live.count() == 1_000
+    snap = snapshot_checkpoints(spark)
+    assert len(snap) >= 1
+    inner = spark.range(500).selectExpr("id * 7 AS w").localCheckpoint(
+        eager=True
+    )
+    inner.count()
+    # scoped sweep: frees the inner checkpoint, never the protected one
+    assert release_session_checkpoints(spark, blocking=True, protect=snap) >= 1
+    assert live.count() == 1_000  # blocks intact, DataFrame still usable
+    # unscoped sweep drains the protected one too, and is idempotent
+    assert release_session_checkpoints(spark, blocking=True) >= 1
+    assert release_session_checkpoints(spark) == 0
+
+
 def test_ngram_jaccard_stop_shingle_pruning(spark, docs):
     """Stop-shingle cap drops hot shingles from the INDEX only: the
     near-dup pair is still found through its cold shared shingles and

@@ -46,24 +46,15 @@ def test_staged_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, _REGISTRY[name], SF_DIR)
 
 
-def test_wave71_is_staged_not_live():
-    """The staging protocol (default again after the recorded r12
-    waves-69/70 exception): the module is in STAGED_MODULES, NOT in
-    the driver contract, and its entries are invisible to
-    all_queries() without SPARK_GRAFT_EXTRA_MODULES."""
-    import os
+def test_wave71_registered_in_driver_contract(monkeypatch):
+    """Round 14 promoted wave 71 (staged r13 under the default
+    protocol): the driver must see the wave without any
+    SPARK_GRAFT_EXTRA_MODULES assistance. Membership + tiering only —
+    position assertions break when a CORRECTNESS_rN lands."""
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_MODULES", raising=False)
+    from staged_oracle import assert_live_and_tiered
 
-    from airflow_scraping_etl_tutorial_spark.plans.registry import (
-        _QUERY_MODULES,
-        STAGED_MODULES,
-        all_queries,
-    )
-
-    assert any("llm_ops70" in m for m in STAGED_MODULES)
-    assert not any("llm_ops70" in m for m in _QUERY_MODULES)
-    assert os.environ.get("SPARK_GRAFT_EXTRA_MODULES") in (None, "")
-    live = set(all_queries())
-    assert not (set(STAGED) & live), "staged entries leaked into the contract"
+    assert_live_and_tiered(STAGED, "llm_ops70")
 
 
 def test_audited_rows_present_for_wave71():
