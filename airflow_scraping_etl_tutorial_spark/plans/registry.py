@@ -124,8 +124,12 @@ _QUERY_MODULES = (
 # list cannot drift between consumers. Promotion = move the module
 # name into _QUERY_MODULES above.
 STAGED_MODULES: tuple[str, ...] = (
-    # empty: wave 71 (llm_ops70) promoted r14 per the
-    # stage-one-round-then-promote protocol.
+    # wave 72 (staged r14; wave 71/llm_ops70 promoted r14 per the
+    # stage-one-round-then-promote protocol): map HOFs, timestamp
+    # unit arithmetic, convert_timezone NTZ, string surgery, binary
+    # encoding bridges, bround/bit family. Promotion = move into
+    # _QUERY_MODULES r15.
+    "airflow_scraping_etl_tutorial_spark.plans.llm_ops71",
 )
 
 

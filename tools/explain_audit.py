@@ -366,13 +366,20 @@ AUDITED = (
     "q454_luhn_checksum_validation",
     "q455_width_bucket_histogram",
     "q456_parse_url_components",
-    # wave 71 (plans/llm_ops70.py, STAGED r13)
+    # wave 71 (plans/llm_ops70.py, staged r13, promoted r14)
     "q457_regr_linear_family",
     "q458_str_to_map_kv_extraction",
     "q459_interval_date_arithmetic",
     "q460_array_mutation_functions",
     "q461_try_cast_quarantine",
     "q462_collated_case_insensitive_grouping",
+    # wave 72 (plans/llm_ops71.py, STAGED r14)
+    "q463_map_hof_family",
+    "q464_timestamp_unit_arithmetic",
+    "q465_convert_timezone_ntz",
+    "q466_string_surgery",
+    "q467_binary_encoding_bridges",
+    "q468_bround_bit_family",
 )
 
 
