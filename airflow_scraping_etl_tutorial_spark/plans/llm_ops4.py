@@ -36,7 +36,7 @@ from ..operators.dedup import minhash_near_duplicates, shingle_hashes
 from ..operators.similarity import (
     as_double,
     assign_argmax_cosine,
-    cosine,
+    dot,
     kmeans_centroids,
 )
 from ..operators.text import en_stopword_ratio, tokens
@@ -135,21 +135,41 @@ def q154_semdedup_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # report join — persist (operator-tag protocol) or the k-means +
     # assignment pipeline runs three times. Assignment is the map-side
     # argmax fold (assign_argmax_cosine) — no (n x 8) shuffle.
+    # r14 (guide §1.2 per-task work): the L2 norm is materialized ONCE
+    # PER VECTOR into the persisted cells (the q74/q75
+    # embedding_near_dup_pairs doctrine) — the quadratic within-cell
+    # stage then evaluates one dot() per pair instead of dot + two
+    # norm folds, a 3x cut in the per-pair array traversals. Bit-exact:
+    # dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) runs the IDENTICAL IEEE ops
+    # as cosine(), just with the per-vector sqrt hoisted out of the
+    # pair loop.
     cells = (
         assign_argmax_cosine(vecs, "_e", cents)
-        .select("vec_id", "_e", F.col("centroid_id").alias("cid"))
+        .select(
+            "vec_id",
+            "_e",
+            F.col("centroid_id").alias("cid"),
+            F.sqrt(dot(F.col("_e"), F.col("_e"))).alias("_n"),
+        )
         .persist()
     )
     a = cells.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("_e").alias("ea")
+        F.col("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("_e").alias("ea"),
+        F.col("_n").alias("na"),
     )
     b = cells.select(
-        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("_e").alias("eb")
+        F.col("cid"),
+        F.col("vec_id").alias("id_b"),
+        F.col("_e").alias("eb"),
+        F.col("_n").alias("nb"),
     )
+    pair_cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(b, ["cid"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= 0.3)
+        .filter(F.round(pair_cos, 6) >= 0.3)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("_dropped", F.lit(1))

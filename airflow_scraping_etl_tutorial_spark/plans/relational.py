@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.compare import ORACLE_MEAN, money_mean, money_sum
+from ..functions.partitioning import fan_out
 from ..sources.tables import load
 from .registry import query
 
@@ -60,11 +61,25 @@ def q01_flagship_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> Dat
     100 TB), so it carries NO forced hint (r13, judge r12 item 3): AQE's
     runtime size check picks broadcast at small SF and falls back to a
     shuffled join when the table outgrows the threshold — a forced hint
-    would override that check and OOM the executors. The groupBy
-    shuffles once on (region, year) — low cardinality, so the partial
-    (map-side) aggregation collapses almost all rows before the
-    exchange. At 100 TB: the fact-fact join and the customer join move
-    data.
+    would override that check and OOM the executors.
+
+    r14 (guide §2.3 "aggregate before you shuffle"): lineitem is
+    PRE-AGGREGATED per l_orderkey before the join. The per-order
+    partial sums collapse map-side into the orderkey exchange the
+    fact-fact join needs anyway, so the join probe side shrinks ~4x
+    (orders have ~4 lineitems), and — because each surviving row is
+    then exactly one order — COUNT(DISTINCT o_orderkey) becomes a
+    plain COUNT(*): the distinct-aggregate Expand (which doubled every
+    joined row into a dedup stream + a sum stream) disappears from the
+    plan. The revenue stays the decimal-exact money_sum: a sum of
+    per-order exact decimal partial sums is the same exact decimal
+    total (associativity), so the emitted doubles are bit-identical to
+    the single-level form — verified value-equal at sf0.1 and by the
+    unchanged oracle. n_orders: o_orderkey is the orders PRIMARY KEY,
+    so after the inner join each pre-aggregated lineitem group matches
+    at most one orders row and COUNT(*) == COUNT(DISTINCT o_orderkey).
+    At 100 TB: the fact-fact join and the customer join still move
+    data, but the lineitem side moves pre-reduced rows.
     """
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -72,8 +87,15 @@ def q01_flagship_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> Dat
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
 
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("_order_rev")
+    )
     return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -82,10 +104,8 @@ def q01_flagship_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> Dat
             F.year("o_orderdate").alias("order_year"),
         )
         .agg(
-            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("_order_rev"), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("region_name", "order_year")
     )
@@ -190,8 +210,32 @@ def q04_groupby_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFra
     the shuffle is O(tasks), not O(rows) — exactly the plan you want at
     100 TB. The 合計 row the reference discards (P1) is the same partial-
     aggregate concept, recomputed natively here.
+
+    r14: the aggregate input goes through fan_out AFTER the pushed
+    filter + 6-column projection. The decimal-exact money aggregates
+    are the deliberate CPU cost of this query (a per-row
+    double->DECIMAL(18,6) rounding per measure), and the fixtures
+    arrive as a single parquet row group — one scan task owns the
+    whole aggregation (guide §1.2: fix the distributed shape first).
+    fan_out round-robins the pruned rows across cores ONLY when the
+    scan has fewer splits than the session's parallelism; at 100 TB
+    the scan arrives already split and fan_out is a no-op, so no
+    shuffle is added where it wouldn't pay. Values are unchanged
+    under the reshuffle: every aggregate here is order-independent
+    (exact decimal sums, exact integer-valued double sums, counts).
     """
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+    li = fan_out(
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
