@@ -366,14 +366,23 @@ def ngram_jaccard_pairs(
     the pairs a dedup pass cares least about. Cost of the cap: one
     map-side-combined (shingle, df) aggregation.
     """
-    # persist: sizes + BOTH sides of the inverted-index self-join read
-    # the shingle sets — without it the shingling map runs three times.
-    # Tagged on the result for caller release (functions/caching.py).
+    # persist: BOTH sides of the inverted-index self-join read the
+    # shingle sets — without it the shingling map runs twice. Tagged on
+    # the result for caller release (functions/caching.py).
+    # r14 (guide §2.4 "remove shuffles outright"): the per-doc set SIZE
+    # rides along the index rows (one extra long per posting) and is
+    # recovered per pair with MIN (constant within the pair group), so
+    # the two id-keyed size joins of the previous shape — two full
+    # exchanges of the pair set at any scale — are gone. jaccard is
+    # computed from the same three integers, so values are unchanged.
     sh = fan_out(df).select(
         F.col(id_col), shingle_hashes(F.col("text"), shingle_size).alias("shingles")
     ).persist()
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
-    inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    inv = sh.select(
+        F.col(id_col),
+        F.size("shingles").alias("_n"),
+        F.explode("shingles").alias("shingle"),
+    )
     if max_shingle_df is not None:
         cold = (
             inv.groupBy("shingle")
@@ -384,7 +393,8 @@ def ngram_jaccard_pairs(
         inv = inv.join(cold, "shingle", "left_semi")
     a, b = inv.alias("a"), inv.alias("b")
     if max_shingle_df is None:
-        # Exact path: count common shingles straight off the index join.
+        # Exact path: count common shingles straight off the index join;
+        # the pair's set sizes come along as MIN over the group.
         common = (
             a.join(
                 b,
@@ -395,12 +405,17 @@ def ngram_jaccard_pairs(
                 F.col(f"a.{id_col}").alias("doc_id_a"),
                 F.col(f"b.{id_col}").alias("doc_id_b"),
             )
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.min("a._n").alias("n_a"),
+                F.min("b._n").alias("n_b"),
+            )
         )
     else:
         # Pruned path: the index yields CANDIDATES only (hot shingles
         # are missing from it, so its counts would undercount); the
-        # exact intersection comes from the full shingle arrays.
+        # exact intersection comes from the full shingle arrays, whose
+        # fetch joins also carry the sizes.
         cand = (
             a.join(
                 b,
@@ -413,8 +428,16 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        arr_a = sh.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("_sa"))
-        arr_b = sh.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("_sb"))
+        arr_a = sh.select(
+            F.col(id_col).alias("doc_id_a"),
+            F.col("shingles").alias("_sa"),
+            F.size("shingles").alias("n_a"),
+        )
+        arr_b = sh.select(
+            F.col(id_col).alias("doc_id_b"),
+            F.col("shingles").alias("_sb"),
+            F.size("shingles").alias("n_b"),
+        )
         common = (
             cand.join(arr_a, "doc_id_a")
             .join(arr_b, "doc_id_b")
@@ -422,22 +445,18 @@ def ngram_jaccard_pairs(
                 "doc_id_a",
                 "doc_id_b",
                 F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
+                "n_a",
+                "n_b",
             )
         )
-    sa = sizes.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        common.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
+    out = common.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
     )
     return tag_intermediates(out, sh)
 

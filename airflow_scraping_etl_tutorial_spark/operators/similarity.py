@@ -9,8 +9,13 @@ Two paths, as the scale doctrine demands:
   same-bucket vectors are candidates. Turns n-vs-n search into
   O(sum(bucket^2)) — the 100 TB path.
 
-All vector math is higher-order functions (zip_with/aggregate) on
-array columns — JVM-side, no UDFs, no Python in the hot loop.
+Vector math defaults to higher-order functions (zip_with/aggregate) on
+array columns — JVM-side, no UDFs. r14 adds ONE Arrow-vectorized NumPy
+kernel for the quadratic within-cell pair stage (guide §4.2: hand whole
+batches to vectorized native code), with accumulation performed in the
+SAME left-fold order as the HOF dot so every emitted double is
+bit-identical — see `within_cell_near_pairs`. Everything that is not
+a measured hot loop stays on the HOF path.
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ import struct
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.sql import types as T
 
 from ..functions.caching import tag_intermediates
 from ..functions.partitioning import fan_out
@@ -183,24 +189,67 @@ def bucket_keys(
     (sign of the dot product with each deterministic hyperplane).
     Map-only — no shuffle; the joins downstream are where data moves.
 
-    Two-step projection: the float->double cast is materialized ONCE as
-    its own column instead of being re-inlined into every plane's dot
-    expression (CollapseProject skips expensive multiply-referenced
-    expressions) — n_planes-fold smaller expression tree, measurably
-    faster analysis/codegen and execution."""
-    pre = fan_out(emb).select(
-        F.col(id_col), as_double(F.col("embedding")).alias("_e")
+    r14 (guide §4.2): the per-plane dots run in an Arrow-vectorized
+    NumPy kernel — the plane loop accumulates ``acc = acc + E[:, i] *
+    plane[i]`` in the SAME IEEE mul-then-add left-fold order as the HOF
+    ``dot()``, and float32 embeddings widen to float64 exactly as the
+    JVM cast does, so every bucket value is bit-identical to the
+    previous zip_with/aggregate form (tests/test_vectorized_pairs.py
+    asserts equality against the fold on fixture + edge rows).
+
+    Degenerate rows keep the fold's semantics exactly (pytest-pinned):
+    under zip_with a NULL vector, a NULL element, or a length != dim
+    yields a NULL dot (NULL dominates the fold), so every plane bit is
+    0 and the bucket is 0 — Arrow erases the null-element/NaN-element
+    distinction (both arrive as NaN), so a JVM-side ``exists(isnull)``
+    flag rides along to keep those rows on the NULL path. A NaN
+    ELEMENT, by contrast, makes every dot NaN, and Spark's comparison
+    semantics order NaN above every value, so the fold sets every bit:
+    the kernel mirrors that with ``(acc > 0) | isnan(acc)``."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_deterministic_planes(n_planes, dim), dtype=np.float64)
+    id_field = emb.schema[id_col].dataType
+
+    def score(iters):
+        for pdf in iters:
+            vecs = pdf["embedding"].to_list()
+            n = len(vecs)
+            has_null = pdf["_has_null"].to_numpy()
+            lens = np.fromiter(
+                (len(v) if v is not None else -1 for v in vecs),
+                dtype=np.int64,
+                count=n,
+            )
+            valid = (lens == dim) & ~has_null
+            buckets = np.zeros(n, dtype=np.int64)
+            if valid.any():
+                E = np.asarray(
+                    [v for v, ok in zip(vecs, valid) if ok], dtype=np.float64
+                )
+                vb = np.zeros(E.shape[0], dtype=np.int64)
+                for p in range(n_planes):
+                    acc = np.zeros(E.shape[0], dtype=np.float64)
+                    for i in range(dim):
+                        # left fold: mul then add, the dot() IEEE order
+                        acc = acc + E[:, i] * planes[p, i]
+                    # Spark orders NaN above every double: NaN dot -> bit 1
+                    vb |= ((acc > 0) | np.isnan(acc)).astype(np.int64) << p
+                buckets[valid] = vb
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
+
+    schema = T.StructType(
+        [T.StructField(id_col, id_field), T.StructField("bucket", T.LongType())]
     )
-    v = F.col("_e")
-    bucket = None
-    for p, plane in enumerate(_deterministic_planes(n_planes, dim)):
-        plane_col = F.array(*[F.lit(w) for w in plane])
-        bit = F.when(dot(v, plane_col) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket + term
-    return pre.select(F.col(id_col), bucket.alias("bucket"))
+    has_null_elem = F.coalesce(
+        F.exists("embedding", lambda x: x.isNull()), F.lit(False)
+    )
+    return (
+        fan_out(emb)
+        .select(F.col(id_col), F.col("embedding"), has_null_elem.alias("_has_null"))
+        .mapInPandas(score, schema)
+    )
 
 
 def lsh_bucket_candidates(
@@ -650,4 +699,151 @@ def ivf_topk_cosine_trained(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )
+
+
+def within_cell_near_pairs(
+    cells: DataFrame,
+    cos_guard: float,
+    id_col: str = "vec_id",
+    cell_col: str = "cid",
+    vec_col: str = "_e",
+    norm_col: str = "_n",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """All ordered within-cell pairs (id_a < id_b) whose precomputed-norm
+    cosine EXCEEDS `cos_guard`, scored by an Arrow-vectorized NumPy
+    kernel (guide §4.2) that reproduces the HOF fold bit-for-bit.
+
+    Returns (id_a, id_b, cos_raw double). `cos_guard` is a coarse
+    vectorized prefilter, NOT the semantic threshold: callers pass a
+    guard strictly below their real cutoff and apply the EXACT
+    threshold expression (e.g. ``F.round(cos_raw, 6) >= tau``) in Spark
+    on the returned rows, so the decision semantics — including Java
+    BigDecimal rounding — never leave the JVM. Only near/above-guard
+    pairs cross the Python->JVM boundary.
+
+    Bit-exactness of cos_raw: the Gram accumulation runs as dim
+    sequential vectorized steps, ``acc = acc + E[:, k] * E[:, k].T``,
+    so each pair's dot is the identical IEEE mul-then-add left fold the
+    HOF ``dot()`` performs (((0 + a0*b0) + a1*b1) + ...); the divisor
+    is ``norm_col[i] * norm_col[j]`` — the caller's own precomputed
+    doubles — multiplied then divided exactly as the column expression
+    ``dot / (na * nb)``. Verified value-equal against the HOF join form
+    by tests/test_vectorized_pairs.py and by the unchanged q154 oracle.
+
+    Degenerate rows behave as the HOF join form does (pytest-pinned):
+    a NULL vector, a vector with NULL elements, or a ragged length
+    gives a NULL cosine in the join form — NULL never passes a
+    threshold — so such rows are excluded here (a JVM-side
+    ``exists(isnull)`` flag distinguishes NULL elements from NaN, which
+    Arrow would otherwise conflate). NaN cosines (NaN elements,
+    zero-norm 0/0) are EMITTED **as +Infinity**: Spark's comparison
+    semantics order NaN above every double, so a NaN pair passes any
+    threshold filter — but NaN itself cannot cross the pandas->Arrow
+    boundary (it becomes NULL), so the kernel substitutes +Infinity,
+    which passes every ``round(cos_raw, 6) >= tau`` exactly as NaN
+    does (Spark's round is the identity on NaN/Infinity; the DuckDB
+    oracle's NaN likewise orders above every threshold). Callers that
+    copy cos_raw into OUTPUT columns therefore must not rely on NaN
+    pairs — q154 consumes only the ids. Two divergences from the join
+    form, both out of contract: vectors sharing the same NON-standard
+    length would dot normally there but are excluded here (cells are
+    fixed-dim by construction), and a zero-norm 0/0 pair RAISES
+    DIVIDE_BY_ZERO there under ANSI mode while this kernel keeps the
+    oracle's NaN-passes behavior.
+
+    Scale: cells arrive via a groupBy(cell) applyInPandas — the
+    quadratic term stays bounded per cell exactly as in the self-join
+    form, and the Gram matrix is computed in `block_rows`-row stripes
+    so memory is O(block_rows x cell), never O(cell^2). One cell must
+    fit a worker's memory as (n x dim) doubles — the SemDeDup cell-size
+    cap (q68 hot-bucket doctrine) is what bounds n at corpus scale, for
+    this kernel and the self-join form alike.
+    """
+    import numpy as np
+    import pandas as pd
+
+    guard = float(cos_guard)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_all = pdf[id_col].to_numpy()
+        vecs = pdf[vec_col].to_list()
+        norms_all = pdf[norm_col].to_numpy(dtype=np.float64)
+        has_null = pdf["_has_null"].to_numpy()
+        # exclude rows the HOF form could never pair (NULL vector, NULL
+        # element, ragged length — all give a NULL cosine in the join
+        # form; contract + semantics documented above)
+        dim = None
+        for v in vecs:
+            if v is not None:
+                dim = len(v)
+                break
+        keep = []
+        for i, v in enumerate(vecs):
+            if v is None or len(v) != dim or has_null[i]:
+                continue
+            keep.append(i)
+        if len(keep) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
+            )
+        keep = np.asarray(keep)
+        E = np.asarray([vecs[i] for i in keep], dtype=np.float64)
+        ids = ids_all[keep]
+        norms = norms_all[keep]
+        # id-sorted so i < j in matrix order <=> id_a < id_b
+        order = np.argsort(ids, kind="stable")
+        E = E[order]
+        ids = ids[order]
+        norms = norms[order]
+        n = len(ids)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for lo in range(0, n, block_rows):
+            hi = min(lo + block_rows, n)
+            acc = np.zeros((hi - lo, n), dtype=np.float64)
+            for k in range(E.shape[1]):
+                # left fold: mul then add, same IEEE sequence as dot()
+                acc = acc + E[lo:hi, k:k + 1] * E[None, :, k]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (norms[lo:hi, None] * norms[None, :])
+            # NaN cosines are emitted as +Infinity: NaN orders above
+            # every double in Spark (so such pairs pass any threshold)
+            # but would become NULL at the pandas->Arrow boundary —
+            # +Infinity passes the same filters and survives the
+            # conversion (docstring)
+            ii, jj = np.nonzero((cos > guard) | np.isnan(cos))
+            upper = (lo + ii) < jj  # strict upper triangle: id_a < id_b
+            ii, jj = ii[upper], jj[upper]
+            vals = cos[ii, jj]
+            vals = np.where(np.isnan(vals), np.inf, vals)
+            out_a.append(ids[lo + ii])
+            out_b.append(ids[jj])
+            out_c.append(vals)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cos_raw": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
+    )
+    has_null_elem = F.coalesce(
+        F.exists(vec_col, lambda x: x.isNull()), F.lit(False)
+    )
+    return (
+        cells.select(
+            cell_col, id_col, vec_col, norm_col, has_null_elem.alias("_has_null")
+        )
+        .groupBy(cell_col)
+        .applyInPandas(score, schema)
     )

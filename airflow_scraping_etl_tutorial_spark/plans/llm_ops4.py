@@ -38,6 +38,7 @@ from ..operators.similarity import (
     assign_argmax_cosine,
     dot,
     kmeans_centroids,
+    within_cell_near_pairs,
 )
 from ..operators.text import en_stopword_ratio, tokens
 from ..sources.tables import load
@@ -153,23 +154,18 @@ def q154_semdedup_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    a = cells.select(
-        F.col("cid"),
-        F.col("vec_id").alias("id_a"),
-        F.col("_e").alias("ea"),
-        F.col("_n").alias("na"),
-    )
-    b = cells.select(
-        F.col("cid"),
-        F.col("vec_id").alias("id_b"),
-        F.col("_e").alias("eb"),
-        F.col("_n").alias("nb"),
-    )
-    pair_cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # r14 batch 2 (guide §4.2): the quadratic within-cell stage runs in
+    # the Arrow-vectorized NumPy kernel (within_cell_near_pairs) instead
+    # of a per-pair interpreted-HOF dot join — the Gram accumulation
+    # replays the identical IEEE left fold, and the kernel only
+    # PREFILTERS on a guard strictly below tau (0.2999985 < any double
+    # that can round to >= 0.3): the semantic cutoff stays this exact
+    # JVM expression, so threshold decisions — including Java BigDecimal
+    # HALF_UP rounding — are unchanged (proven by the unchanged oracle
+    # hash at 3 SFs and tests/test_vectorized_pairs.py).
     dropped = (
-        a.join(b, ["cid"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(pair_cos, 6) >= 0.3)
+        within_cell_near_pairs(cells, cos_guard=0.2999985)
+        .filter(F.round(F.col("cos_raw"), 6) >= 0.3)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("_dropped", F.lit(1))

@@ -80,6 +80,16 @@ def q01_flagship_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> Dat
     at most one orders row and COUNT(*) == COUNT(DISTINCT o_orderkey).
     At 100 TB: the fact-fact join and the customer join still move
     data, but the lineitem side moves pre-reduced rows.
+
+    r14 batch 2 (guide §2.5 input skew / §1.2): the pre-aggregate input
+    goes through the conditional fan_out AFTER a 3-column projection —
+    the sf fixtures arrive as ONE parquet row group, so without it the
+    whole per-order decimal pipeline (600 k rows x cast+sum at sf0.1)
+    runs on a single scan task. fan_out round-robins the pruned rows
+    across cores only when the scan has fewer splits than the session
+    parallelism; at 100 TB the scan is already split and it is a no-op.
+    The exact decimal sum is order-independent, so the reshuffle cannot
+    move the value (proven by the unchanged oracle hash).
     """
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -87,7 +97,9 @@ def q01_flagship_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> Dat
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
 
-    per_order = lineitem.groupBy("l_orderkey").agg(
+    per_order = fan_out(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    ).groupBy("l_orderkey").agg(
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                 "decimal(18,6)"
