@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 from pyspark.sql import types as T
 
-from ..functions.caching import tag_intermediates
 from ..functions.partitioning import fan_out
 
 
@@ -332,12 +331,31 @@ def embedding_near_dup_pairs(
     probability (1 - theta/pi)^n_planes, so near-identical vectors
     (theta ~ 0) are found with near-certainty while the bucket join stays
     O(sum(bucket^2)). Raise recall with fewer planes or multi-probe.
+
+    r14 (guide §4.2 / §2.4): the within-bucket pair stage runs in the
+    Arrow-vectorized NumPy kernel (within_cell_near_pairs, the q154
+    machinery) instead of a bucket SELF-JOIN scoring one interpreted
+    HOF dot per candidate pair. The kernel replays the identical IEEE
+    left-fold dot and divides by the same precomputed norms, so every
+    emitted cos_raw double is bit-identical; the kernel's guard is the
+    largest double strictly BELOW `threshold`, and the caller-visible
+    cutoff stays this exact JVM filter (``cos_raw >= threshold``), so
+    threshold decisions never leave the JVM. Plan effect: the keyed
+    set crosses ONE bucket exchange into the grouped kernel instead of
+    TWO self-join exchanges, and the persist the self-join needed is
+    gone (the keyed set now has a single consumer). Contract notes
+    (shared with q154's use, pytest-pinned in
+    tests/test_vectorized_pairs.py): ids must be integral (they ride
+    the kernel as int64), NULL/ragged/NULL-element vectors never pair
+    (their cosine was NULL in the join form), and a zero-norm 0/0 pair
+    — impossible for real embeddings — would yield +Infinity here
+    where ANSI mode raised DIVIDE_BY_ZERO in the join form.
     """
-    # persist: both sides of the bucket self-join read the keyed set,
-    # and bucket_keys (not the counting form) skips the window shuffle.
-    # The L2 norm is precomputed ONCE PER VECTOR here — computing
-    # cosine() per pair would redo both norms for every candidate pair
-    # (a vector in a k-vector bucket pays its norm k-1 times).
+    import math
+
+    # The L2 norm is precomputed ONCE PER VECTOR — computing cosine()
+    # per pair would redo both norms for every candidate pair (a vector
+    # in a k-vector bucket pays its norm k-1 times).
     dbl = as_double(F.col("embedding"))
     b = (
         bucket_keys(emb, n_planes, dim, id_col)
@@ -350,25 +368,24 @@ def embedding_near_dup_pairs(
             id_col,
         )
         .select(F.col(id_col).alias("_id"), "bucket", "_emb", "_norm")
-        .persist()
     )
-    a, bb = b.alias("a"), b.alias("b")
-    cand = a.join(
-        bb,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
-    ).select(
-        F.col("a._id").alias("vec_id_a"),
-        F.col("b._id").alias("vec_id_b"),
-        (
-            dot(F.col("a._emb"), F.col("b._emb")) / (F.col("a._norm") * F.col("b._norm"))
-        ).alias("cos_raw"),
+    pairs = within_cell_near_pairs(
+        b,
+        cos_guard=math.nextafter(threshold, -math.inf),
+        id_col="_id",
+        cell_col="bucket",
+        vec_col="_emb",
+        norm_col="_norm",
     )
-    out = (
-        cand.filter(F.col("cos_raw") >= threshold)
-        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
+    return (
+        pairs.filter(F.col("cos_raw") >= threshold)
+        .select(
+            F.col("id_a").alias("vec_id_a"),
+            F.col("id_b").alias("vec_id_b"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
         .distinct()
     )
-    return tag_intermediates(out, b)
 
 
 def ivf_topk_cosine(

@@ -85,11 +85,19 @@ def q01_flagship_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> Dat
     goes through the conditional fan_out AFTER a 3-column projection —
     the sf fixtures arrive as ONE parquet row group, so without it the
     whole per-order decimal pipeline (600 k rows x cast+sum at sf0.1)
-    runs on a single scan task. fan_out round-robins the pruned rows
-    across cores only when the scan has fewer splits than the session
-    parallelism; at 100 TB the scan is already split and it is a no-op.
-    The exact decimal sum is order-independent, so the reshuffle cannot
-    move the value (proven by the unchanged oracle hash).
+    runs on a single scan task. At 100 TB the scan is already split and
+    fan_out is a no-op. The exact decimal sum is order-independent, so
+    the reshuffle cannot move the value (proven by the unchanged
+    oracle hash).
+
+    r14 batch 3 (guide §2.4 share one exchange): the fan-out is KEYED
+    on l_orderkey instead of round-robin — the pre-aggregate groups on
+    the same key at the same partition count, so the groupBy reuses
+    the fan-out partitioning and the second exchange (round-robin
+    spread, then hash-partition the partial sums) disappears from the
+    plan: ONE exchange of the pruned raw rows instead of two back to
+    back. l_orderkey is near-uniform (~4 lineitems/order at every SF),
+    so hashing spreads as evenly as round-robin did.
     """
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -98,7 +106,8 @@ def q01_flagship_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> Dat
     region = load(spark, sf_dir, "region")
 
     per_order = fan_out(
-        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        by="l_orderkey",
     ).groupBy("l_orderkey").agg(
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -404,15 +413,31 @@ def q08_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "outer"),
 )
 def q09_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving customers with zero orders (count=0)."""
+    """Left outer join preserving customers with zero orders (count=0).
+
+    r14 (guide §2.3 "aggregate before you shuffle"): orders pre-
+    aggregates per o_custkey BEFORE the join, so the join moves one
+    pre-reduced row per customer instead of one per order, and the
+    post-join re-aggregation disappears — the exchange that remains
+    carries partial (count, decimal-sum) pairs that collapse map-side.
+    Values are bit-identical: the per-custkey groups are exactly the
+    former per-customer groups (c_custkey is the customer PK), so the
+    decimal money_sum rounds the same exact sums, COUNT(o_orderkey)
+    counts the same non-null keys, and unmatched customers surface as
+    NULLs coalesced to the same zeros the outer-join group produced.
+    """
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n"),
+        money_sum(F.col("o_totalprice")).alias("_spent"),
+    )
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(money_sum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spent"),
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("_n"), F.lit(0).cast("bigint")).alias("n_orders"),
+            F.coalesce(F.col("_spent"), F.lit(0.0)).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -641,16 +666,25 @@ def q16_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic tiebreak on custkey. Scale: the window partitions by
     nationkey — parallel across groups; with skewed groups, pre-aggregate
     (done here: spend is grouped first) so each partition holds one row
-    per customer, not per order."""
+    per customer, not per order.
+
+    r14 (guide §2.3): the per-customer spend aggregates on orders
+    BEFORE the customer join — c_custkey is the customer PK, so the
+    per-o_custkey groups are exactly the former per-(nation, customer)
+    groups and the decimal money_sum rounds the same exact sums; the
+    join then moves one pre-reduced row per customer instead of one
+    row per order, and the post-join re-aggregation disappears."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    spend = (
-        customer.join(orders, orders.o_custkey == customer.c_custkey)
-        .groupBy(
-            F.col("c_nationkey").alias("nationkey"),
-            F.col("c_custkey").alias("custkey"),
-        )
-        .agg(money_sum(F.col("o_totalprice")).alias("total_spent"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        money_sum(F.col("o_totalprice")).alias("total_spent")
+    )
+    spend = customer.join(
+        per_cust, per_cust.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("custkey"),
+        "total_spent",
     )
     w = W.partitionBy("nationkey").orderBy(F.desc("total_spent"), F.asc("custkey"))
     return (
