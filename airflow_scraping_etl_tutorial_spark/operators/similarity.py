@@ -95,10 +95,23 @@ def assign_argmax_cosine(
             ),
         ).alias("_cl")
     )
+    # r14 (guide §1.2 per-task work): skip the as_double transform when
+    # the input is ALREADY array<double> — the identity cast is not
+    # optimized away by Catalyst, so each of the m per-centroid dots
+    # would otherwise rebuild a casted copy of the vector per row
+    # (m array allocations + m x dim interpreted cast evals). A double
+    # -> double cast is the identity, so the scores are bit-identical.
+    vec_type = df.schema[vec_col].dataType
+    vec = (
+        F.col(vec_col)
+        if isinstance(vec_type, T.ArrayType)
+        and isinstance(vec_type.elementType, T.DoubleType)
+        else as_double(F.col(vec_col))
+    )
     scored = F.transform(
         F.col("_cl"),
         lambda c: F.struct(
-            (dot(as_double(F.col(vec_col)), c["ce"]) / c["cn"]).alias("s"),
+            (dot(vec, c["ce"]) / c["cn"]).alias("s"),
             c["cid"].alias("cid"),
         ),
     )
@@ -434,8 +447,17 @@ def ivf_topk_cosine(
             .select(vid, "centroid_id")
         )
 
+    # corpus side: pre-cast the float32 embeddings to double ONCE per
+    # row (r14, guide §1.2) — assign_argmax_cosine's per-centroid dots
+    # then skip the m identity casts (the cast is applied once here
+    # instead of once per centroid; same ops, bit-identical scores)
     corpus_cells = assign(
-        fan_out(corpus).select(id_col, "embedding"), id_col, "embedding", 1
+        fan_out(corpus).select(
+            id_col, as_double(F.col("embedding")).alias("_ed")
+        ),
+        id_col,
+        "_ed",
+        1,
     ).withColumnRenamed(id_col, "neighbor_id")
     q_cells = assign(
         queries.select(id_col, "embedding"), id_col, "embedding", n_probe
@@ -673,10 +695,15 @@ def ivf_topk_cosine_trained(
 
     def assign(df: DataFrame, vid: str, keep: int) -> DataFrame:
         if keep == 1:
-            # corpus side: map-side argmax, no (n x m) shuffle
-            return assign_argmax_cosine(df, "embedding", cents).select(
-                vid, "centroid_id"
-            )
+            # corpus side: map-side argmax, no (n x m) shuffle; the
+            # float32 embeddings are pre-cast to double ONCE per row
+            # (r14, guide §1.2) so the per-centroid dots skip the m
+            # identity casts — same ops applied once, bit-identical
+            return assign_argmax_cosine(
+                df.select(vid, as_double(F.col("embedding")).alias("_ed")),
+                "_ed",
+                cents,
+            ).select(vid, "centroid_id")
         scored = df.crossJoin(F.broadcast(cents)).select(
             F.col(vid),
             F.col("centroid_id"),

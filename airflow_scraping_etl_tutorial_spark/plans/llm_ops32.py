@@ -124,7 +124,7 @@ def q332_retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel-value census is a 5-row aggregate, and everything downstream
     is constant-size. ndcg_ppm is a truncating integer division of
     exact integer micro-DCGs."""
-    bm, toks = _bm25_doc_scores(spark, sf_dir)
+    bm, _dl = _bm25_doc_scores(spark, sf_dir)
     bm = bm.persist()
     wdf = spark.createDataFrame(list(_DCG_W), "rk int, wt bigint")
     ranked = bm.select(
@@ -168,7 +168,7 @@ def q332_retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return tag_intermediates(out, toks, bm)
+    return tag_intermediates(out, bm)
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +223,7 @@ def q333_retrieval_precision_recall(
     Scale: one candidate-frame rank (same window as q245's lexical
     arm), one 1-row total broadcast, a 3-row k-grid; nothing
     downstream of the posting-list join exceeds candidate size."""
-    bm, toks = _bm25_doc_scores(spark, sf_dir)
+    bm, _dl = _bm25_doc_scores(spark, sf_dir)
     ranked = bm.select(
         F.when(F.col("n_terms_hit") == 5, 1).otherwise(0).alias("rel"),
         F.row_number()
@@ -264,7 +264,7 @@ def q333_retrieval_precision_recall(
         )
         .orderBy("k")
     )
-    return tag_intermediates(out, toks, ranked)
+    return tag_intermediates(out, ranked)
 
 
 # ---------------------------------------------------------------------------
@@ -326,10 +326,7 @@ def q334_rank_correlation_kendall(
     Scale: the pair join is 20x20 on a broadcast frame; the only
     corpus-sized inputs are q235's posting lists and the per-doc
     length table (two longs per doc)."""
-    bm, toks = _bm25_doc_scores(spark, sf_dir)
-    dl = (
-        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    )
+    bm, dl = _bm25_doc_scores(spark, sf_dir)
     top20 = (
         bm.select(
             "doc_id",
@@ -378,7 +375,7 @@ def q334_rank_correlation_kendall(
             "CAST(1000000 - (6 * sum_d2 * 1000000) div 7980 AS BIGINT)"
         ).alias("spearman_ppm"),
     )
-    return tag_intermediates(out, toks, both_)
+    return tag_intermediates(out, both_)
 
 
 # ---------------------------------------------------------------------------

@@ -92,15 +92,37 @@ _SQL_BM25_CTES = f"""tk AS (
 
 def _bm25_doc_scores(spark: SparkSession, sf_dir: str):
     """Spark twin of _SQL_BM25_CTES: (doc_id, n_terms_hit, bm25)
-    unordered, plus the persisted token handle for the caller to tag."""
+    unordered, plus the per-doc length frame (doc_id, dl) for callers
+    that need it.
+
+    r14 (guide §2.3 shuffle fewer bytes / §1.2): the previous shape
+    exploded EVERY token of the corpus into a persisted (doc_id, tok)
+    frame just to (a) count per-doc lengths and (b) filter five query
+    terms. The length is size(tokens(text)) — pure map work, no
+    explode, no shuffle (split never yields an empty array, so the
+    count over exploded rows equals the array size; the isNotNull
+    guard reproduces explode's drop of NULL-text rows) — and the term
+    filter runs INSIDE the array before the explode, so only matching
+    tokens become rows. The corpus-wide explode, its persist, and the
+    1M-row groupBy are gone; at 100 TB the corpus now contributes one
+    map pass + the tiny posting list instead of a full token
+    explosion."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    toks = toks.persist()
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("dl"))
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     t = dl.agg(F.sum("dl").cast("bigint").alias("t"))
     tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    tokens(F.col("text")), lambda tk: tk.isin(*_BM25_TERMS)
+                )
+            ).alias("tok"),
+        )
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -144,7 +166,7 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str):
             ),
         )
     )
-    return bm, toks
+    return bm, dl
 
 
 @query(
@@ -177,9 +199,8 @@ def q235_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings shuffle; df (5 rows) and the N/T scalars broadcast;
     TakeOrderedAndProject caps the result. At 100 TB the dl table is
     the only corpus-sized side and it carries two longs per doc."""
-    bm, toks = _bm25_doc_scores(spark, sf_dir)
-    out = bm.orderBy(F.desc("bm25"), "doc_id").limit(20)
-    return tag_intermediates(out, toks)
+    bm, _dl = _bm25_doc_scores(spark, sf_dir)
+    return bm.orderBy(F.desc("bm25"), "doc_id").limit(20)
 
 
 # ---------------------------------------------------------------------------
@@ -1046,7 +1067,7 @@ def q245_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vector and never moves the corpus."""
     from ..operators.similarity import cosine
 
-    bm, toks = _bm25_doc_scores(spark, sf_dir)
+    bm, _dl = _bm25_doc_scores(spark, sf_dir)
     lex = (
         bm.select(
             "doc_id",
@@ -1098,7 +1119,7 @@ def q245_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score_ppm"), "doc_id")
         .limit(20)
     )
-    return tag_intermediates(out, toks)
+    return out
 
 
 # ---------------------------------------------------------------------------
