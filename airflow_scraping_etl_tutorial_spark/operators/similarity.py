@@ -21,6 +21,7 @@ a measured hot loop stays on the HOF path.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 
 from pyspark.sql import Column, DataFrame
@@ -52,30 +53,69 @@ def assign_argmax_cosine(
     cents: DataFrame,
     out_cid: str = "centroid_id",
 ) -> DataFrame:
-    """Map-side argmax-cosine assignment against a broadcast model:
-    the m centroids collapse into ONE array row, and each vector picks
-    its best centroid inside a single projection — no (n x m) row
-    explosion, no hash exchange, no per-vector window sort (the
-    round-9 replacement for the row_number(PARTITION BY vec ORDER BY
-    cos DESC, cid) form, which shuffled n x m rows to rank m of them).
+    """Map-side argmax-cosine assignment against a model-sized
+    centroid set — no (n x m) row explosion, no hash exchange, no
+    per-vector window sort (the round-9 replacement for the
+    row_number(PARTITION BY vec ORDER BY cos DESC, cid) form, which
+    shuffled n x m rows to rank m of them).
 
-    The fold ranks by dot(v, c) / ||c|| — cosine times the POSITIVE
-    per-row constant ||v||, so the argmax (and every tie) is identical
-    to ranking by cosine while skipping m redundant O(dim) row-norm
-    folds per row (centroid norms are precomputed once in the packed
-    model). The walk is in ascending centroid_id order (array_sort on
-    the leading struct field) and keeps a strictly GREATER score, so
-    ties resolve to the smallest centroid_id — the same vector lands
-    in the same cell as under the window form, including the
-    zero-vector case (all scores 0.0 -> smallest cid, matching the
-    window's all-NaN ordering) and the all-NULL case (null/mismatched
-    embedding -> fall back to the smallest centroid_id, matching
-    NULLS LAST). The fold's not-yet-assigned state is a NULL score
-    (round-9 ADVICE: no id-space sentinel — negative centroid ids are
-    legal, and the cid is cast to long in the packed model so an
-    int-typed id column cannot struct-coerce against the fold init).
-    Assumes the model is non-empty; the returned id column is long.
+    Ranks by dot(v, c) / ||c|| — cosine times the POSITIVE per-row
+    constant ||v||, so the argmax (and every tie) is identical to
+    ranking by cosine while skipping m redundant O(dim) row-norm
+    folds per row (centroid norms are precomputed once per model).
+    The walk is in ascending centroid_id order and keeps a strictly
+    GREATER score, so ties resolve to the smallest centroid_id — the
+    same vector lands in the same cell as under the window form,
+    including the zero-vector case (all scores 0.0 -> smallest cid,
+    matching the window's all-NaN ordering) and the all-NULL case
+    (null/mismatched embedding -> fall back to the smallest
+    centroid_id, matching NULLS LAST). Assumes the model is
+    non-empty; the returned id column is long.
+
+    r14 (guide §4.2): when the vector column is array<double/float>
+    and the collected model is well-formed (unique non-null long
+    cids, one dim, no null elements), the per-row scoring runs in an
+    Arrow-vectorized NumPy kernel (`_assign_argmax_cosine_arrow`)
+    instead of the interpreted per-centroid HOF fold — the kernel
+    replays the IDENTICAL IEEE left-fold dot, the identical
+    division, and the identical strictly-greater / NaN-is-greatest /
+    first-NaN-wins walk, so every assignment is bit-identical
+    (pytest-pinned against the fold form, incl. degenerate rows).
+    The model is collected driver-side — the same model-sized-collect
+    precedent as q76's centroids; anything malformed falls back to
+    the fold form below, which remains the semantics of record. The
+    collect makes the call EAGER (it runs the cents plan once);
+    every call site passes a checkpointed or limit-m model.
     """
+    vec_type = df.schema[vec_col].dataType
+    if (
+        isinstance(vec_type, T.ArrayType)
+        and isinstance(vec_type.elementType, (T.DoubleType, T.FloatType))
+        and out_cid not in df.columns
+        and _arrow_passable(df.schema)
+    ):
+        # as_double here = the packed form's as_double: a float32
+        # model widens identically on both paths
+        model = [
+            (r["cid"], None if r["ce"] is None else list(r["ce"]))
+            for r in cents.select(
+                F.col(out_cid).cast("long").alias("cid"),
+                as_double(F.col("c_emb")).alias("ce"),
+            ).collect()
+        ]
+        if (
+            model
+            and all(
+                cid is not None
+                and ce is not None
+                and all(x is not None for x in ce)
+                for cid, ce in model
+            )
+            and len({cid for cid, _ in model}) == len(model)
+            and len({len(ce) for _, ce in model}) == 1
+        ):
+            model.sort(key=lambda t: t[0])
+            return _assign_argmax_cosine_arrow(df, vec_col, model, out_cid)
     packed = cents.agg(
         F.array_sort(
             F.collect_list(
@@ -138,6 +178,138 @@ def assign_argmax_cosine(
     )
 
 
+def _arrow_passable(dt) -> bool:
+    """True when every field round-trips a mapInArrow pass-through
+    untouched (the kernel yields the input batch's arrays back
+    verbatim, so anything Arrow-convertible is safe; exotic types —
+    UDTs, VARIANT, maps-of-structs we have not needed — fall back to
+    the JVM fold instead of risking a conversion error)."""
+    if isinstance(dt, T.StructType):
+        return all(_arrow_passable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _arrow_passable(dt.elementType)
+    return isinstance(
+        dt,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.StringType,
+            T.BooleanType,
+            T.BinaryType,
+            T.DateType,
+            T.TimestampType,
+            T.DecimalType,
+        ),
+    )
+
+
+def _assign_argmax_cosine_arrow(
+    df: DataFrame,
+    vec_col: str,
+    model: list[tuple[int, list[float]]],
+    out_cid: str,
+) -> DataFrame:
+    """Arrow-vectorized body of `assign_argmax_cosine` (guide §4.2):
+    one mapInArrow pass appends the argmax cid to each input batch.
+
+    Bit-exactness vs the HOF fold (the semantics of record, kept in
+    the caller as the fallback path):
+    - each dot is accumulated as dim sequential vectorized steps
+      ``S = S + V[:, k] * C[:, k]`` from 0.0 — the identical IEEE
+      mul-then-add left fold as ``dot()``;
+    - centroid norms are computed driver-side with the same scalar
+      left fold + sqrt as ``l2_norm`` (Python floats ARE IEEE
+      doubles; math.sqrt == Math.sqrt, correctly rounded);
+    - the winner walk is ascending-cid, strictly-greater, with
+      Spark's double ordering: a NaN score beats every number (first
+      NaN wins, later NaNs never displace it), so an all-NaN row
+      lands on the smallest cid exactly as the fold does;
+    - a NULL vector, NULL element, or ragged length nulls every dot
+      in the fold (zip_with pads with NULL, the sum poisons), which
+      falls back to the smallest cid — the kernel assigns those rows
+      the smallest cid directly.
+
+    The input batch's own arrays are yielded back untouched (no
+    pandas coercion anywhere), so pass-through columns — including
+    the vector itself — are byte-identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    cids = np.asarray([cid for cid, _ in model], dtype=np.int64)
+    C = np.asarray([ce for _, ce in model], dtype=np.float64)
+    norms = []
+    for _, ce in model:
+        acc = 0.0
+        for x in ce:
+            acc = acc + float(x) * float(x)
+        norms.append(math.sqrt(acc))
+    cn = np.asarray(norms, dtype=np.float64)
+    m, dim = C.shape
+    vec_idx = df.columns.index(vec_col)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_cid, T.LongType())]
+    )
+    smallest = int(cids[0])
+
+    def assign_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            va = batch.column(vec_idx)
+            if va.offset != 0:
+                # defensive: Spark hands offset-0 batches; a sliced
+                # list array's offsets buffer would not align
+                va = va.take(pa.array(np.arange(n, dtype=np.int64)))
+            offsets = va.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = np.diff(offsets)
+            row_null = (
+                va.is_null().to_numpy(zero_copy_only=False)
+                if va.null_count
+                else np.zeros(n, dtype=bool)
+            )
+            ok = (~row_null) & (lens == dim)
+            child = va.values
+            if child.null_count:
+                cvalid = child.is_valid().to_numpy(zero_copy_only=False)
+                ccum = np.concatenate(
+                    ([0], np.cumsum(cvalid.astype(np.int64)))
+                )
+                ok &= (ccum[offsets[1:]] - ccum[offsets[:-1]]) == lens
+            out = np.full(n, smallest, dtype=np.int64)
+            nv = int(ok.sum())
+            if nv:
+                # float32 -> float64 is the exact widening as_double does
+                flat = child.to_numpy(zero_copy_only=False).astype(np.float64)
+                starts = offsets[:-1][ok]
+                V = flat[starts[:, None] + np.arange(dim)[None, :]]
+                S = np.zeros((nv, m), dtype=np.float64)
+                for k in range(dim):
+                    S = S + V[:, k : k + 1] * C[None, :, k]
+                S = S / cn[None, :]
+                best = S[:, 0].copy()
+                best_nan = np.isnan(best)
+                best_j = np.zeros(nv, dtype=np.int64)
+                with np.errstate(invalid="ignore"):
+                    for j in range(1, m):
+                        cur = S[:, j]
+                        cnan = np.isnan(cur)
+                        take = (cnan & ~best_nan) | (
+                            ~cnan & ~best_nan & (cur > best)
+                        )
+                        best = np.where(take, cur, best)
+                        best_nan = np.where(take, cnan, best_nan)
+                        best_j = np.where(take, j, best_j)
+                out[ok] = cids[best_j]
+            yield batch.append_column(
+                pa.field(out_cid, pa.int64()), pa.array(out, type=pa.int64())
+            )
+
+    return df.mapInArrow(assign_batches, out_schema)
+
+
 def cosine(a: Column, b: Column) -> Column:
     da, db = as_double(a), as_double(b)
     return dot(da, db) / (l2_norm(da) * l2_norm(db))
@@ -159,6 +331,13 @@ def brute_force_topk_cosine(
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("c_emb")
     )
+    # r14: an Arrow-kernel rewrite of this O(|q| x n) scoring stage was
+    # built and MEASURED WORSE at sf0.1 (interleaved A/B x5: join form
+    # min 0.521 s vs kernel min 0.734 s) — the per-build queries
+    # collect plus the fixed Python-stage cost exceed the interpreted
+    # HOF work saved at a 5-query batch, unlike the argmax-assignment
+    # kernel where every row pays m per-centroid folds. Rejected per
+    # guide §1.1's gotcha rule; the join form stays.
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -542,7 +721,10 @@ def _lloyd_step(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     rebuilt position-sorted, so the result is bit-identical to the
     wide form. Assignment is the map-side argmax fold
     (assign_argmax_cosine) — no (n x m) shuffle per iteration."""
-    assigned = assign_argmax_cosine(vecs, "_e", cents).select(
+    # only _e enters the assignment: the kernel is an opaque boundary
+    # (no column pruning through mapInArrow — guide §4.1), so the id
+    # column is dropped BEFORE it instead of after
+    assigned = assign_argmax_cosine(vecs.select("_e"), "_e", cents).select(
         "centroid_id", "_e"
     )
     comp = assigned.select("centroid_id", F.posexplode("_e").alias("_pos", "_val"))

@@ -195,3 +195,186 @@ def test_within_cell_pairs_degenerate_rows_match_join_form(spark):
         assert not any(2 in p or 3 in p or 6 in p for p in got)  # NULL/ragged
     finally:
         df.unpersist()
+
+
+def _hof_assign_argmax(df, vec_col, cents, out_cid="centroid_id"):
+    """The pre-r14 packed-model HOF fold form of assign_argmax_cosine,
+    verbatim (the semantics of record the Arrow kernel must match)."""
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import l2_norm
+
+    packed = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(out_cid).cast("long").alias("cid"),
+                    as_double(F.col("c_emb")).alias("ce"),
+                )
+            )
+        ).alias("_cl0")
+    ).select(
+        F.transform(
+            F.col("_cl0"),
+            lambda c: F.struct(
+                c["cid"].alias("cid"),
+                c["ce"].alias("ce"),
+                l2_norm(c["ce"]).alias("cn"),
+            ),
+        ).alias("_cl")
+    )
+    vec_type = df.schema[vec_col].dataType
+    vec = (
+        F.col(vec_col)
+        if isinstance(vec_type, T.ArrayType)
+        and isinstance(vec_type.elementType, T.DoubleType)
+        else as_double(F.col(vec_col))
+    )
+    scored = F.transform(
+        F.col("_cl"),
+        lambda c: F.struct(
+            (dot(vec, c["ce"]) / c["cn"]).alias("s"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.lit(None).cast("long").alias("cid"),
+        ),
+        lambda acc, s: F.when(
+            s["s"].isNotNull() & (acc["s"].isNull() | (s["s"] > acc["s"])), s
+        ).otherwise(acc),
+    )
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn("_best", best)
+        .withColumn(
+            out_cid,
+            F.when(
+                F.col("_best.cid").isNull(), F.element_at("_cl", 1)["cid"]
+            ).otherwise(F.col("_best.cid")),
+        )
+        .drop("_cl", "_best")
+    )
+
+
+def test_assign_argmax_kernel_matches_fold_on_fixture(spark):
+    """Arrow-kernel assignment == HOF fold on the real embeddings
+    fixture with kmeans-style centroids (first 8 in md5 order), and
+    the pass-through columns come back untouched."""
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        assign_argmax_cosine,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double(F.col("embedding")).alias("c_emb"),
+        )
+    )
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("_e"))
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["_e"])
+        for r in assign_argmax_cosine(vecs, "_e", cents).collect()
+    }
+    want = {
+        r["vec_id"]: (r["centroid_id"], r["_e"])
+        for r in _hof_assign_argmax(vecs, "_e", cents).collect()
+    }
+    assert got == want
+
+    # float32 input path: the kernel widens exactly as as_double does
+    got32 = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_argmax_cosine(
+            emb.select("vec_id", "embedding"), "embedding", cents
+        ).collect()
+    }
+    want32 = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _hof_assign_argmax(
+            emb.select("vec_id", "embedding"), "embedding", cents
+        ).collect()
+    }
+    assert got32 == want32
+
+
+def test_assign_argmax_kernel_degenerate_rows_match_fold(spark):
+    """Degenerate vectors (NULL, ragged, NULL element, NaN element,
+    zero, +/-Inf element) land on the same cid under kernel and fold."""
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        assign_argmax_cosine,
+    )
+
+    nan = float("nan")
+    inf = float("inf")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("_e", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, None),                      # NULL vector
+        (3, [1.0, 2.0]),                # ragged (shorter)
+        (4, [1.0, 2.0, 3.0, 4.0]),      # ragged (longer)
+        (5, [1.0, None, 3.0]),          # NULL element
+        (6, [nan, 1.0, 1.0]),           # NaN element -> all scores NaN
+        (7, [0.0, 0.0, 0.0]),           # zero vector -> all scores 0.0
+        (8, [inf, 1.0, 0.0]),           # Inf element
+        (9, [inf, -inf, 0.0]),          # Inf + -Inf -> NaN dot
+        (10, [-0.5, 0.25, -1.5]),
+    ]
+    vecs = spark.createDataFrame(rows, schema)
+    cents = spark.createDataFrame(
+        [
+            Row(centroid_id=11, c_emb=[0.5, 0.5, 0.5]),
+            Row(centroid_id=-3, c_emb=[1.0, 0.0, 0.0]),
+            Row(centroid_id=4, c_emb=[0.0, -1.0, 0.0]),
+        ]
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_argmax_cosine(vecs, "_e", cents).collect()
+    }
+    want = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _hof_assign_argmax(vecs, "_e", cents).collect()
+    }
+    assert got == want
+
+
+def test_assign_argmax_malformed_model_falls_back_to_fold(spark):
+    """A model with a NULL element (or duplicate cids) must refuse the
+    kernel path and still answer via the fold; the fold skips the
+    NULL-scoring centroid per-row rather than falling back wholesale."""
+    from airflow_scraping_etl_tutorial_spark.operators.similarity import (
+        assign_argmax_cosine,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("_e", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    vecs = spark.createDataFrame([(1, [0.0, 1.0])], schema)
+    cschema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("c_emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [(5, [None, 1.0]), (9, [0.0, 1.0])], cschema
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_argmax_cosine(vecs, "_e", cents).collect()
+    }
+    # centroid 5 scores NULL (null element poisons the dot); 9 wins
+    assert got == {1: 9}
