@@ -141,7 +141,6 @@ def assign_argmax_cosine(
     # would otherwise rebuild a casted copy of the vector per row
     # (m array allocations + m x dim interpreted cast evals). A double
     # -> double cast is the identity, so the scores are bit-identical.
-    vec_type = df.schema[vec_col].dataType
     vec = (
         F.col(vec_col)
         if isinstance(vec_type, T.ArrayType)
@@ -288,7 +287,13 @@ def _assign_argmax_cosine_arrow(
                 S = np.zeros((nv, m), dtype=np.float64)
                 for k in range(dim):
                     S = S + V[:, k : k + 1] * C[None, :, k]
-                S = S / cn[None, :]
+                # errstate wraps the division too: a zero-norm centroid
+                # (cn contains 0.0) must not spam RuntimeWarning to
+                # executor stderr per batch — the VALUES already match
+                # Spark (x/0.0=Inf, 0.0/0.0=NaN), this is log hygiene
+                # (r14 ADVICE; within_cell_near_pairs does the same).
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = S / cn[None, :]
                 best = S[:, 0].copy()
                 best_nan = np.isnan(best)
                 best_j = np.zeros(nv, dtype=np.int64)

@@ -182,6 +182,16 @@ def q331_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("prev_cum"),
         )
+        # r15 (guide §3.3 plan size / §2.4): cum is <= 256 rows but its
+        # UNtruncated lineage (hist self-join -> binned -> u + broadcast
+        # stats) was re-inlined at every consumer — tbin reads cum
+        # twice and qhat reads tbin twice, so the binned subtree
+        # appeared ~8x and the physical plan ran to ~900 lines; plan
+        # ANALYSIS was a measurable slice of the query. Checkpointing
+        # the tiny cumsum executes binned once and collapses every
+        # downstream read to a 256-row scan (same eviction-hardening
+        # rationale as u/stats above).
+        .localCheckpoint(eager=True)
     )
     k_expr = (
         f"LEAST(((n_cal + 1) * (100 - {_ALPHA_PCT}) + 99) div 100, n_cal)"

@@ -106,32 +106,67 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str):
     tokens become rows. The corpus-wide explode, its persist, and the
     1M-row groupBy are gone; at 100 TB the corpus now contributes one
     map pass + the tiny posting list instead of a full token
-    explosion."""
+    explosion.
+
+    r15 (guide §2.4 / r14 VERDICT item 3): the r14 shape still
+    tokenized the corpus once per DAG branch — dl fed both the tf
+    join and the t aggregate, tf fed both dfx and j, and n was its
+    own scan: 5 corpus scans / 4 tokenize passes per action. Now
+    (a) ONE scalar pass computes n, t AND the five per-term document
+    frequencies together (dfc_k = count of docs whose token array
+    contains term k — exactly the old dfx since tf had one row per
+    (doc, matched term)), shipped to the posting side as a single
+    broadcast row carrying a term->dfc map; (b) the posting pass
+    carries dl THROUGH the explode (size(_tk) rides the Generate
+    input, MAX-recovered per (doc_id, tok) group — constant within
+    the group), so the dl equi-join is gone. Two corpus passes / two
+    tokenizes per action, no corpus-sized join anywhere; every
+    arithmetic expression is unchanged, so the scores are
+    bit-identical (strict-verified at 3 SFs)."""
     docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
     dl = (
         docs.filter(F.col("text").isNotNull())
-        .select("doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("dl"))
+        .select("doc_id", F.size(toks).cast("bigint").alias("dl"))
     )
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    t = dl.agg(F.sum("dl").cast("bigint").alias("t"))
+    # scalar pass: two-step projection so the token array is computed
+    # once per row (CollapseProject keeps expensive multiply-referenced
+    # expressions materialized — the shingle_words doctrine)
+    scal = (
+        docs.select(toks.alias("_tk"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("_tk").isNotNull(), F.size("_tk")).cast("bigint")
+            ).cast("bigint").alias("t"),
+            *[
+                F.count(F.when(F.array_contains("_tk", term), 1)).alias(f"_df{i}")
+                for i, term in enumerate(_BM25_TERMS)
+            ],
+        )
+        .select(
+            "n",
+            "t",
+            F.map_from_arrays(
+                F.array(*[F.lit(term) for term in _BM25_TERMS]),
+                F.array(*[F.col(f"_df{i}") for i in range(len(_BM25_TERMS))]),
+            ).alias("_dfm"),
+        )
+    )
     tf = (
-        docs.select(
+        docs.select("doc_id", toks.alias("_tk"))
+        .select(
             "doc_id",
+            F.size("_tk").cast("bigint").alias("dl"),
             F.explode(
-                F.filter(
-                    tokens(F.col("text")), lambda tk: tk.isin(*_BM25_TERMS)
-                )
+                F.filter(F.col("_tk"), lambda tk: tk.isin(*_BM25_TERMS))
             ).alias("tok"),
         )
         .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
-    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
-    j = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfx), "tok")
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(t))
+    j = tf.crossJoin(F.broadcast(scal)).withColumn(
+        "dfc", F.element_at(F.col("_dfm"), F.col("tok"))
     )
     idf = (
         F.log(

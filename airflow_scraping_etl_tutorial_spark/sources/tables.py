@@ -143,6 +143,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_dtype is not None and ts_dtype != "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if key is not None:
+        # evict superseded entries for this (session, path) before
+        # inserting the new mtime key: a fixture rewritten N times in a
+        # live session must not leave N dead plans behind (r14 VERDICT
+        # item 5 — harmless at current scale, but a leak is a leak)
+        skey = key[0]
+        for old in [
+            k
+            for k in _PLAN_CACHE
+            if k[0] == skey and k[1] == path and k[2] != mtime
+        ]:
+            _PLAN_CACHE.pop(old, None)
         _PLAN_CACHE[key] = df
     return df
 

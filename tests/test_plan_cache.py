@@ -48,6 +48,24 @@ def test_overwrite_invalidates_cache(spark, tmp_path):
     assert second.count() == 5
 
 
+def test_rewrite_evicts_superseded_entries(spark, tmp_path):
+    """Rewriting a fixture N times leaves exactly ONE cache entry for
+    the path (r15: superseded mtime keys are evicted on insert — a
+    long-lived session must not accumulate dead plans)."""
+    p = str(tmp_path / "orders.parquet")
+    for n in (2, 3, 4):
+        time.sleep(0.02)
+        _write_orders(p, list(range(n)))
+        os.utime(p)
+        tables.load(spark, str(tmp_path), "orders")
+    entries = [
+        k
+        for k in tables._PLAN_CACHE
+        if k[0] == id(spark) and k[1] == p
+    ]
+    assert len(entries) == 1
+
+
 def test_cache_result_still_recomputes_from_files(spark, sf_dir):
     """The cache holds PLANS, not results: two actions on the cached
     DataFrame both execute (no persisted blocks are created)."""
