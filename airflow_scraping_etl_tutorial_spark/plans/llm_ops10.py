@@ -302,13 +302,13 @@ def q250_connected_components_minlabel(spark: SparkSession, sf_dir: str) -> Data
     from ..functions.caching import release_intermediates
     from ..operators.dedup import minhash_near_duplicates
 
-    # sym and lbl1 are localCheckpointed (disk-backed, lineage-
-    # TRUNCATED) rather than persist()ed: each is read by two
-    # downstream consumers, and with full lineage retained a
-    # memory-pressure eviction turns those reads into full
-    # minhash-pipeline recomputes (the round-11 driver-box signature).
-    # Checkpointed, the degraded mode is a local-disk re-read —
-    # linear, not multiplicative (operators/cluster.py doctrine).
+    # sym is localCheckpointed (disk-backed, lineage-TRUNCATED) rather
+    # than persist()ed: it is read by two downstream consumers, and
+    # with full lineage retained a memory-pressure eviction turns those
+    # reads into full minhash-pipeline recomputes (the round-11
+    # driver-box signature). Checkpointed, the degraded mode is a
+    # local-disk re-read — linear, not multiplicative
+    # (operators/cluster.py doctrine).
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
     sym = pairs.select(
         F.col("doc_id_a").alias("s"), F.col("doc_id_b").alias("d")
@@ -321,10 +321,15 @@ def q250_connected_components_minlabel(spark: SparkSession, sf_dir: str) -> Data
     # round 1 fused: labels start as the identity, so
     # l1(u) = LEAST(u, MIN(neighbors)) is ONE aggregate — no label
     # join, no separate node-list distinct (l1 IS the node list)
-    lbl1 = (
-        sym.groupBy(F.col("d").alias("node"))
-        .agg(F.least(F.min("s"), F.col("d")).alias("lbl"))
-        .localCheckpoint(eager=True)
+    # r15: lbl1 is NOT checkpointed any more — it is one aggregate off
+    # the sym checkpoint, its subtree appears in both round-2 branches
+    # of the one final plan (ReuseExchange shares the shuffle), and the
+    # degraded mode still stops at sym. The eager barrier cost more
+    # than the aggregate: interleaved A/B clean-rep minimums 1.617 s
+    # (checkpoint) vs 1.437 s (plain) vs 1.682 s (persist) at
+    # sf0.1/32 cores.
+    lbl1 = sym.groupBy(F.col("d").alias("node")).agg(
+        F.least(F.min("s"), F.col("d")).alias("lbl")
     )
     # round 2 with the self-loop trick: appending (u, u) edges folds
     # each node's own l1 into the neighbor MIN, so the round is ONE

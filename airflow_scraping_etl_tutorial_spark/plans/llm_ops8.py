@@ -233,11 +233,10 @@ def q226_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/cluster.py's star contraction with its documented
     exact convergence probe)."""
     docs = load(spark, sf_dir, "documents")
-    # pairs feeds both union branches; the degree-annotated edge list
-    # feeds both iterations. Both are localCheckpointed (disk-backed,
-    # lineage-TRUNCATED) rather than persist()ed: a persisted
-    # intermediate keeps its full lineage in the plan, so under memory
-    # pressure eviction turns each of the 2x2 downstream reads into a
+    # pairs feeds both union branches and is localCheckpointed
+    # (disk-backed, lineage-TRUNCATED) rather than persist()ed: a
+    # persisted intermediate keeps its full lineage in the plan, so
+    # under memory pressure eviction turns each downstream read into a
     # full minhash-pipeline recompute — the round-11 driver box showed
     # exactly that signature (1.5-1.7x on a contended box with zero
     # plan changes). With the checkpoint, a re-read is at worst a
@@ -258,12 +257,15 @@ def q226_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("dg"))
     # attach out-degree to each edge ONCE instead of re-joining deg
-    # every iteration (the q250 fusion doctrine, round 9)
-    e_deg = (
-        e.join(deg, e["s"] == deg["node"])
-        .select("s", "d", "dg")
-        .localCheckpoint(eager=True)
-    )
+    # every iteration (the q250 fusion doctrine, round 9). r15: e_deg is
+    # NOT checkpointed any more — its subtree hangs off the pairs
+    # checkpoint, so both iteration consumers share its shuffles via
+    # ReuseExchange inside the one final plan, and the degraded mode
+    # stays linear (recompute stops at the pairs checkpoint). The eager
+    # barrier cost more than the derivation: interleaved A/B clean-rep
+    # minimums 1.494 s (checkpoint) vs 1.342 s (plain) vs 1.563 s
+    # (persist) at sf0.1/32 cores.
+    e_deg = e.join(deg, e["s"] == deg["node"]).select("s", "d", "dg")
     # iteration 1 fused: r0 == SCALE for every node, so each edge's
     # contribution is the constant SCALE div deg — one aggregate, no
     # rank join at all
