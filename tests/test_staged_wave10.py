@@ -187,7 +187,11 @@ def _final_plan(spark, name):
 def test_bm25_plan_is_topk_with_broadcast_stats(spark):
     plan = _final_plan(spark, "q235_bm25_retrieval")
     assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
-    assert "BroadcastHashJoin" in plan  # df table broadcasts
+    # r15 single-scan shape: the corpus scalars (N, total length, five
+    # per-term dfs) collapse to ONE broadcast row cross-joined in — a
+    # BroadcastNestedLoopJoin over a 1-row build side, not the old
+    # BroadcastHashJoin of a per-term stats table
+    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
 
